@@ -1,0 +1,97 @@
+"""Mergeable sketches for near-dedup at scale: MinHash (+LSH banding) and
+SimHash. Pure numpy, deterministic, designed to be computed per batch inside
+``map_batches`` and grouped/merged by a small ``groupby`` — never a Python
+loop over the whole corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash64_batch
+
+_M61 = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """num_perm universal-hash permutations over shingle hashes.
+
+    signature(doc) is a uint64[num_perm]; Jaccard(a, b) ≈ mean(sig_a == sig_b).
+    ``bands(sig)`` gives (band_id, band_hash) pairs for LSH bucketing: docs
+    sharing any band bucket are candidate near-duplicates.
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.nbands = bands
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def signature(self, shingles: set[str]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = hash64_batch(sorted(shingles)) % np.uint64(_M61)
+        with np.errstate(over="ignore"):
+            # (a*h + b) mod M61 via python-int-free numpy: split multiply
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_M61)
+        return vals.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """uint64[bands] — hash of each band's rows (for LSH group keys)."""
+        sig = sig.reshape(self.nbands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            out = np.full(self.nbands, 0xCBF29CE484222325, dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for r in range(self.rows_per_band):
+                out = (out ^ sig[:, r]) * prime
+        return out
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+
+def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash over token hashes (optionally weighted)."""
+    if len(token_hashes) == 0:
+        return 0
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    w = np.ones(len(h)) if weights is None else np.asarray(weights, dtype=np.float64)
+    score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    val = np.uint64(0)
+    for k in range(64):
+        if score[k] > 0:
+            val |= np.uint64(1) << np.uint64(k)
+    return int(val)
+
+
+def simhash_text(text: str) -> int:
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    return simhash(hash64_batch(toks))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    while True:
+        nz = x != 0
+        if not nz.any():
+            break
+        cnt[nz] += 1
+        x = x & (x - np.uint64(1))
+    return cnt

@@ -1,0 +1,393 @@
+"""The crawl wave driver loop (SURVEY.md §3.5) — Ray-Data-native restatement of
+the reference's continuous consume loop (`/root/reference/worker/src/worker.rs:58-172`).
+
+Each wave (round):
+
+1. **drain** — every StateShard releases its politeness-budgeted,
+   priority-ordered slice of the frontier (replaces the RabbitMQ ``frontier``
+   queue consume, `rmqredis.rs:213-257`); the driver sorts the union by
+   ``(-priority, host, url)`` — the canonical deterministic wave order the
+   reference never had (its order was broker+HashSet nondeterministic).
+2. **fetch** — ``map_batches(Fetcher, concurrency=…)`` actor pool resolves
+   pages + image payloads (zero-copy Arrow batches; the wave is then
+   materialized once — bounded by the politeness budget — so the archive sink
+   and the link path both consume it without recompute).
+3. **archive** — non-error rows append to the Lance/Parquet archive table
+   under ``archive/round=NNNN/`` (idempotent per-round fragment naming →
+   resumable); error rows go to ``errors/round=NNNN/``.
+4. **route** — ``map_batches(LinkRouter)`` extracts/canonicalizes/filters
+   per page and routes candidates to their host-partition shard for the
+   atomic anti-join + frontier insert.
+5. **checkpoint** — per-partition shard snapshots + a manifest carrying
+   lineage (per-round funnel counts, per-stage timings mirroring the
+   reference's metrics schema, `influx_client.rs:61-135`) and archive paths.
+
+The driver never materializes anything unbounded: wave size is capped by the
+politeness budget, link rows are narrow strings routed task→actor, and the
+only driver-side rows are per-batch summary counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import hash64_batch, part_of, priority_of
+from ..functions.urlnorm import canonicalize_batch
+from ..sources import tableio
+from ..sources.fixtures import build_images_table, seed_urls
+from ..stages.fetch import Fetcher, LinkRouter
+from ..stages.filters import HostFilter
+from ..state.shard import StateShard
+
+ARCHIVE_COLUMNS = [
+    "url", "host", "round", "depth", "image_id", "bytes", "w", "h", "fmt",
+    "caption", "phash",
+]
+
+ORDER_SCHEMA = pa.schema(
+    [("url", pa.string()), ("round", pa.int32()), ("rank", pa.int64())]
+)
+
+
+@dataclasses.dataclass
+class CrawlConfig:
+    out_dir: str
+    seeds: list = dataclasses.field(default_factory=lambda: seed_urls(8))
+    num_parts: int = 8
+    seen_mode: str = "exact"  # 'exact' (test parity) | 'approx' (bloom+cuckoo)
+    seen_capacity: int = 1 << 20
+    rate: float = 2.0  # politeness: URLs released per host per wave
+    burst: float = 4.0
+    max_rounds: int = 8
+    max_pages: int = 0  # 0 = unlimited
+    max_wave_per_part: int = 0  # 0 = unlimited
+    # synthetic web
+    n_hosts: int = 40
+    max_degree: int = 8
+    hot_host_pct: int = 30
+    private_mod: int = 7
+    robots_mod: int = 4
+    html: bool = True
+    n_images: int = 64
+    # filtering
+    filter_mode: str = "none"
+    filter_entries: list = dataclasses.field(default_factory=list)
+    # execution
+    fetch_concurrency: int = 4
+    router_concurrency: int = 2
+    batch_size: int = 256
+    checkpoint_every: int = 1
+    fail_mod: int = 0
+    spill_threshold: int = 2_000_000
+
+    def web_dict(self) -> dict:
+        return {
+            "n_hosts": self.n_hosts,
+            "max_degree": self.max_degree,
+            "hot_host_pct": self.hot_host_pct,
+            "private_mod": self.private_mod,
+            "robots_mod": self.robots_mod,
+            "html": self.html,
+        }
+
+
+def _round_dir(base: str, r: int) -> str:
+    return os.path.join(base, f"round={r:04d}")
+
+
+def _seed_shards(cfg: CrawlConfig, shards, filt: HostFilter):
+    """Canonicalize + filter + route the seed list (depth 0, round 'seed').
+
+    The reference seeds out-of-band by publishing URLs straight to the work
+    exchange (SURVEY.md §3.3); here seeds take the same canonicalize → filter
+    → check_and_insert path as discovered links.
+    """
+    import ray
+
+    canon, hosts = canonicalize_batch(cfg.seeds)
+    kept = [(u, h) for u, h in zip(canon, hosts) if filt.keep(h)]
+    if not kept:
+        return 0
+    urls = [u for u, _ in kept]
+    hosts = [h for _, h in kept]
+    hashes = hash64_batch(urls)
+    prios = priority_of(hashes)
+    parts = part_of(hash64_batch(hosts), cfg.num_parts)
+    futs = []
+    for p in np.unique(parts):
+        idx = np.nonzero(parts == p)[0]
+        futs.append(
+            shards[int(p)].check_and_insert.remote(
+                [urls[j] for j in idx],
+                [hosts[j] for j in idx],
+                hashes[idx],
+                prios[idx],
+                [0] * len(idx),
+            )
+        )
+    return sum(r["submitted"] for r in ray.get(futs))
+
+
+def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
+              resume: bool = False) -> dict:
+    """Run (or resume) a crawl; returns the lineage/metrics summary dict."""
+    import ray
+    import ray.data as rd
+
+    out = cfg.out_dir
+    archive_dir = os.path.join(out, "archive")
+    errors_dir = os.path.join(out, "errors")
+    order_dir = os.path.join(out, "order")
+    ckpt_dir = os.path.join(out, "ckpt")
+    spill_dir = os.path.join(out, "spill")
+    for d in (archive_dir, errors_dir, order_dir, ckpt_dir, spill_dir):
+        os.makedirs(d, exist_ok=True)
+
+    if images_table is None:
+        images_table = build_images_table(cfg.n_images)
+    images_ref = ray.put(images_table)
+    filt = HostFilter(cfg.filter_mode, cfg.filter_entries)
+
+    ShardActor = ray.remote(num_cpus=0.05)(StateShard)
+    shards = [
+        ShardActor.remote(
+            p, cfg.num_parts, cfg.seen_mode, cfg.seen_capacity,
+            cfg.rate, cfg.burst, cfg.spill_threshold,
+            os.path.join(spill_dir, f"part{p:04d}"),
+        )
+        for p in range(cfg.num_parts)
+    ]
+
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+    metrics_rows: list[dict] = []
+    start_round = 0
+    pages_total = 0
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        ray.get([s.restore.remote(ckpt_dir) for s in shards])
+        start_round = manifest["next_round"]
+        metrics_rows = manifest["metrics"]
+        pages_total = manifest["pages_total"]
+        # drop outputs of rounds replayed after the checkpoint (idempotent resume)
+        for base in (archive_dir, errors_dir, order_dir):
+            for name in os.listdir(base):
+                if not name.startswith("round="):
+                    continue
+                rnum = int(name.split("=")[1].split(".")[0])
+                if rnum >= start_round:
+                    p = os.path.join(base, name)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    else:
+        _seed_shards(cfg, shards, filt)
+
+    t_start = time.perf_counter()
+    r = start_round
+    while r < cfg.max_rounds:
+        if cfg.max_pages and pages_total >= cfg.max_pages:
+            break
+        t_round = time.perf_counter()
+        # 1. drain (politeness-budgeted, priority-ordered per shard)
+        t0 = time.perf_counter()
+        max_rows = cfg.max_wave_per_part or None
+        drained = ray.get([s.drain.remote(True, max_rows) for s in shards])
+        nonempty = [t for t in drained if t.num_rows]
+        wave = pa.concat_tables(nonempty) if nonempty else drained[0]
+        if wave.num_rows == 0:
+            sizes = ray.get([s.frontier_size.remote() for s in shards])
+            if sum(sizes) == 0:
+                break
+            r += 1
+            continue
+        # canonical deterministic wave order
+        order_idx = pa.compute.sort_indices(
+            wave,
+            sort_keys=[("priority", "descending"), ("host", "ascending"),
+                       ("url", "ascending")],
+        )
+        wave = wave.take(order_idx)
+        receive_ms = (time.perf_counter() - t0) * 1000
+
+        pq.write_table(
+            pa.table(
+                {
+                    "url": wave["url"],
+                    "round": pa.array([r] * wave.num_rows, pa.int32()),
+                    "rank": pa.array(range(wave.num_rows), pa.int64()),
+                },
+                schema=ORDER_SCHEMA,
+            ),
+            os.path.join(_round_dir(order_dir, r) + ".parquet"),
+        )
+
+        # 2. fetch — actor-pool map_batches over the wave
+        nchunks = max(1, min(cfg.fetch_concurrency * 4,
+                             (wave.num_rows + cfg.batch_size - 1) // cfg.batch_size))
+        step = (wave.num_rows + nchunks - 1) // nchunks
+        chunks = [wave.slice(i * step, step) for i in range(nchunks)
+                  if i * step < wave.num_rows]
+        ds = rd.from_arrow(chunks)
+        fetched = ds.map_batches(
+            Fetcher,
+            fn_constructor_kwargs={
+                "images_ref": images_ref,
+                "web_cfg": cfg.web_dict(),
+                "round_idx": r,
+                "fail_mod": cfg.fail_mod,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=1,
+        ).materialize()
+
+        # 3. archive append (+ error routing)
+        t0 = time.perf_counter()
+        ok = fetched.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["error_kind"], ""))
+                       .select(ARCHIVE_COLUMNS),
+            batch_format="pyarrow",
+        )
+        rdir = _round_dir(archive_dir, r)
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        ok.write_parquet(rdir)
+        err_ds = fetched.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t["error_kind"], ""))
+                       .select(["url", "host", "round", "depth", "error_kind"]),
+            batch_format="pyarrow",
+        )
+        nerr = err_ds.count()
+        if nerr:
+            edir = _round_dir(errors_dir, r)
+            if os.path.exists(edir):
+                shutil.rmtree(edir)
+            err_ds.write_parquet(edir)
+        archive_ms = (time.perf_counter() - t0) * 1000
+
+        # 4. link routing → shard anti-join + frontier insert
+        summaries = fetched.map_batches(
+            LinkRouter,
+            fn_constructor_kwargs={
+                "shard_handles": shards,
+                "filter_cfg": filt.to_dict(),
+                "num_parts": cfg.num_parts,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.router_concurrency,
+            num_cpus=1,
+        ).take_all()
+
+        agg = {k: 0.0 for k in (
+            "pages", "errors", "extracted_links", "normalised_links",
+            "filtered_links", "culled_links", "submitted_links",
+            "download_ms", "extract_ms", "normalise_ms", "filter_ms",
+            "culling_ms",
+        )}
+        for row in summaries:
+            for k in agg:
+                agg[k] += row[k]
+        pages_total += int(agg["pages"])
+        row = {
+            "round": r,
+            "wave_rows": wave.num_rows,
+            "receive_ms": receive_ms,
+            "archive_ms": archive_ms,
+            "finishing_ms": (time.perf_counter() - t_round) * 1000,
+            **{k: (int(v) if not k.endswith("_ms") else v) for k, v in agg.items()},
+        }
+        metrics_rows.append(row)
+
+        # 5. checkpoint + lineage manifest
+        if cfg.checkpoint_every and (r + 1) % cfg.checkpoint_every == 0:
+            ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
+            _write_manifest(manifest_path, r + 1, metrics_rows, pages_total, cfg)
+        r += 1
+
+    elapsed = time.perf_counter() - t_start
+    ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
+    _write_manifest(manifest_path, r, metrics_rows, pages_total, cfg)
+    if metrics_rows:
+        pq.write_table(
+            pa.Table.from_pylist(metrics_rows), os.path.join(out, "metrics.parquet")
+        )
+    shard_stats = ray.get([s.stats.remote() for s in shards])
+    result = {
+        "rounds": len(metrics_rows),
+        "pages_total": pages_total,
+        "errors_total": int(sum(m["errors"] for m in metrics_rows)),
+        "submitted_total": int(sum(m["submitted_links"] for m in metrics_rows)),
+        "elapsed_sec": elapsed,
+        "fetched_per_sec": pages_total / elapsed if elapsed > 0 else 0.0,
+        "inserts_per_sec": (
+            sum(m["submitted_links"] for m in metrics_rows) / elapsed
+            if elapsed > 0 else 0.0
+        ),
+        "metrics": metrics_rows,
+        "shard_stats": shard_stats,
+        "archive_dir": archive_dir,
+        "out_dir": out,
+    }
+    result["_shards"] = shards  # callers (tests) may inspect state; else GC'd
+    return result
+
+
+def _write_manifest(path: str, next_round: int, metrics: list[dict],
+                    pages_total: int, cfg: CrawlConfig) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "next_round": next_round,
+                "pages_total": pages_total,
+                "metrics": metrics,
+                "config": {k: v for k, v in dataclasses.asdict(cfg).items()},
+            },
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def read_archive(out_dir: str) -> pa.Table:
+    """All archive rows across rounds as one Arrow table."""
+    base = os.path.join(out_dir, "archive")
+    parts = []
+    for name in sorted(os.listdir(base)):
+        d = os.path.join(base, name)
+        if os.path.isdir(d):
+            try:
+                parts.append(tableio.read_table(d))
+            except FileNotFoundError:
+                pass
+    if not parts:
+        return pa.table({c: [] for c in ARCHIVE_COLUMNS})
+    return pa.concat_tables(parts)
+
+
+def read_order(out_dir: str) -> pa.Table:
+    base = os.path.join(out_dir, "order")
+    files = sorted(
+        os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
+    )
+    if not files:
+        return pa.table({"url": [], "round": [], "rank": []}, schema=ORDER_SCHEMA)
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def dump_seen(shards) -> list[str]:
+    """Union of all shards' exact seen sets (test/parity helper)."""
+    import ray
+
+    out: list[str] = []
+    for urls in ray.get([s.dump_seen.remote() for s in shards]):
+        out.extend(urls)
+    return sorted(out)

@@ -1,0 +1,303 @@
+"""StateShard: one actor per hash partition owning seen-set + frontier state.
+
+The reference splits this state across two network services — a RabbitMQ
+``frontier`` queue (`/root/reference/worker/src/rmqredis.rs:126-151`) and a
+Redis ``collection`` set (`rmqredis.rs:267-290`) — with an asynchronous
+registration path between them that races (SURVEY.md §3.4). Here one actor
+owns both for its partition (``part = hash64(host) % P``), so membership check
++ seen insert + frontier insert are a single atomic ``check_and_insert`` call
+(the reference's *intent*: "prevents work duplications", traits.rs:36).
+
+Host-affinity (all URLs of a host live in one shard) is what makes per-host
+politeness single-owner: the shard's token buckets are the only ones that can
+release that host's URLs into a wave.
+
+Frontier = per-host priority heaps; drain order is the engine's canonical
+deterministic order ``(-priority, url)`` per host, politeness-budgeted by a
+per-host token bucket refilled once per wave. Cold overflow spills to Parquet
+(``spill_threshold``) so a 10^10-URL frontier never has to fit in heap memory.
+
+This class is deliberately Ray-free: the driver wraps it with
+``ray.remote(StateShard)`` and tests drive it in-process.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .seen import SeenSet
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.float32()),
+        ("depth", pa.int32()),
+    ]
+)
+
+
+class StateShard:
+    def __init__(
+        self,
+        part: int,
+        num_parts: int,
+        seen_mode: str = "exact",
+        seen_capacity: int = 1 << 20,
+        rate: float = 2.0,
+        burst: float = 4.0,
+        spill_threshold: int = 2_000_000,
+        spill_dir: str | None = None,
+    ):
+        self.part = part
+        self.num_parts = num_parts
+        self.seen = SeenSet(seen_mode, seen_capacity)
+        # host -> heap of (-priority, url, depth)
+        self.pending: dict[str, list] = {}
+        self.pending_count = 0
+        self.tokens: dict[str, float] = {}
+        self.rate = rate
+        self.burst = burst
+        self.spill_threshold = spill_threshold
+        self.spill_dir = spill_dir
+        self._spill_files: list[str] = []
+        self._spilled_rows = 0
+        self.inserted_total = 0
+        self.drained_total = 0
+
+    # -- ingest -------------------------------------------------------------
+    def check_and_insert(self, urls, hosts, hashes, priorities, depths) -> dict:
+        """Atomic anti-join + frontier insert (J1 + K1 of SURVEY.md §2.2).
+
+        Duplicates *within the call* are collapsed first (the caller batches
+        arbitrary link rows). Returns funnel counts for this call.
+        """
+        n = len(urls)
+        if n == 0:
+            return {"culled": 0, "submitted": 0}
+        first_idx: dict[str, int] = {}
+        order: list[int] = []
+        for i, u in enumerate(urls):
+            if u not in first_idx:
+                first_idx[u] = i
+                order.append(i)
+        uniq_urls = [urls[i] for i in order]
+        uniq_hashes = np.asarray(hashes, dtype=np.uint64)[order]
+        new_mask = self.seen.check_and_insert(uniq_urls, uniq_hashes)
+        submitted = 0
+        for j in np.nonzero(new_mask)[0]:
+            i = order[int(j)]
+            host = hosts[i]
+            heapq.heappush(
+                self.pending.setdefault(host, []),
+                (-float(priorities[i]), urls[i], int(depths[i])),
+            )
+            self.pending_count += 1
+            submitted += 1
+        self.inserted_total += submitted
+        if self.pending_count > self.spill_threshold and self.spill_dir:
+            self._spill()
+        return {"culled": submitted, "submitted": submitted}
+
+    # -- drain --------------------------------------------------------------
+    def drain(self, refill: bool = True, max_rows: int | None = None) -> pa.Table:
+        """One politeness-budgeted wave drain, deterministic order.
+
+        Each host's token bucket is refilled by ``rate`` (capped at ``burst``)
+        once per wave; ``floor(tokens)`` URLs per host are released, highest
+        priority first (ties by url). Returned table is sorted by
+        ``(-priority, host, url)`` — the engine's canonical wave order.
+        """
+        if self.pending_count == 0 and self._spill_files:
+            self._unspill()
+        rows: list[tuple[float, str, str, int]] = []
+        budget_left = max_rows if max_rows is not None else 1 << 62
+        for host in sorted(self.pending.keys()):
+            if budget_left <= 0:
+                break
+            heap = self.pending[host]
+            if refill:
+                self.tokens[host] = min(
+                    self.burst, self.tokens.get(host, 0.0) + self.rate
+                )
+            avail = int(self.tokens.get(host, 0.0))
+            take = min(avail, len(heap), budget_left)
+            for _ in range(take):
+                negp, url, depth = heapq.heappop(heap)
+                rows.append((-negp, host, url, depth))
+            if take:
+                self.tokens[host] = self.tokens.get(host, 0.0) - take
+                self.pending_count -= take
+                budget_left -= take
+            if not heap:
+                del self.pending[host]
+        rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+        self.drained_total += len(rows)
+        return pa.table(
+            {
+                "url": [r[2] for r in rows],
+                "host": [r[1] for r in rows],
+                "priority": pa.array([r[0] for r in rows], pa.float32()),
+                "depth": pa.array([r[3] for r in rows], pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+
+    def frontier_size(self) -> int:
+        return self.pending_count + self._spilled_rows
+
+    def stats(self) -> dict:
+        return {
+            "part": self.part,
+            "pending": self.pending_count,
+            "spill_files": len(self._spill_files),
+            "seen": len(self.seen),
+            "seen_bytes": self.seen.nbytes(),
+            "inserted_total": self.inserted_total,
+            "drained_total": self.drained_total,
+        }
+
+    # -- spill --------------------------------------------------------------
+    def _frontier_table(self) -> pa.Table:
+        urls, hosts, prios, depths = [], [], [], []
+        for host, heap in sorted(self.pending.items()):
+            for negp, url, depth in sorted(heap):
+                urls.append(url)
+                hosts.append(host)
+                prios.append(-negp)
+                depths.append(depth)
+        return pa.table(
+            {
+                "url": urls,
+                "host": hosts,
+                "priority": pa.array(prios, pa.float32()),
+                "depth": pa.array(depths, pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+
+    def _spill(self) -> None:
+        """Spill the lower-priority half of every host's heap to Parquet."""
+        os.makedirs(self.spill_dir, exist_ok=True)
+        urls, hosts, prios, depths = [], [], [], []
+        for host in list(self.pending.keys()):
+            heap = self.pending[host]
+            if len(heap) < 2:
+                continue
+            items = sorted(heap)  # ascending -priority = best first
+            keep, cold = items[: len(items) // 2], items[len(items) // 2 :]
+            self.pending[host] = keep
+            heapq.heapify(self.pending[host])
+            for negp, url, depth in cold:
+                urls.append(url)
+                hosts.append(host)
+                prios.append(-negp)
+                depths.append(depth)
+        if not urls:
+            return
+        t = pa.table(
+            {
+                "url": urls,
+                "host": hosts,
+                "priority": pa.array(prios, pa.float32()),
+                "depth": pa.array(depths, pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+        path = os.path.join(
+            self.spill_dir, f"part{self.part:04d}-spill{len(self._spill_files):04d}.parquet"
+        )
+        pq.write_table(t, path)
+        self._spill_files.append(path)
+        self.pending_count -= len(urls)
+        self._spilled_rows += len(urls)
+
+    def _unspill(self) -> None:
+        files, self._spill_files = self._spill_files, []
+        self._spilled_rows = 0
+        for path in files:
+            t = pq.read_table(path)
+            os.remove(path)
+            for url, host, prio, depth in zip(
+                t["url"].to_pylist(),
+                t["host"].to_pylist(),
+                t["priority"].to_pylist(),
+                t["depth"].to_pylist(),
+            ):
+                heapq.heappush(
+                    self.pending.setdefault(host, []), (-prio, url, depth)
+                )
+                self.pending_count += 1
+
+    # -- checkpoint ---------------------------------------------------------
+    def checkpoint(self, ckpt_dir: str) -> str:
+        """Write this shard's full state under ``ckpt_dir/part=NNNN/``."""
+        d = os.path.join(ckpt_dir, f"part={self.part:04d}")
+        os.makedirs(d, exist_ok=True)
+        self._unspill()  # fold spill back in so the snapshot is one file
+        pq.write_table(self._frontier_table(), os.path.join(d, "frontier.parquet.tmp"))
+        os.replace(
+            os.path.join(d, "frontier.parquet.tmp"), os.path.join(d, "frontier.parquet")
+        )
+        st = self.seen.state_dict()
+        if st["mode"] == "exact":
+            pq.write_table(
+                pa.table({"url": st["urls"]}), os.path.join(d, "seen.parquet.tmp")
+            )
+            os.replace(os.path.join(d, "seen.parquet.tmp"), os.path.join(d, "seen.parquet"))
+        else:
+            np.savez_compressed(os.path.join(d, "seen.npz.tmp.npz"), **{
+                k: v for k, v in st.items() if k != "mode"
+            })
+            os.replace(os.path.join(d, "seen.npz.tmp.npz"), os.path.join(d, "seen.npz"))
+        meta = {
+            "part": self.part,
+            "tokens": self.tokens,
+            "seen_mode": self.seen.mode,
+            "inserted_total": self.inserted_total,
+            "drained_total": self.drained_total,
+        }
+        with open(os.path.join(d, "meta.json.tmp"), "w") as f:
+            json.dump(meta, f)
+        os.replace(os.path.join(d, "meta.json.tmp"), os.path.join(d, "meta.json"))
+        return d
+
+    def restore(self, ckpt_dir: str) -> None:
+        d = os.path.join(ckpt_dir, f"part={self.part:04d}")
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        self.tokens = {k: float(v) for k, v in meta["tokens"].items()}
+        self.inserted_total = int(meta["inserted_total"])
+        self.drained_total = int(meta["drained_total"])
+        self.pending = {}
+        self.pending_count = 0
+        t = pq.read_table(os.path.join(d, "frontier.parquet"))
+        for url, host, prio, depth in zip(
+            t["url"].to_pylist(), t["host"].to_pylist(),
+            t["priority"].to_pylist(), t["depth"].to_pylist(),
+        ):
+            heapq.heappush(self.pending.setdefault(host, []), (-prio, url, depth))
+            self.pending_count += 1
+        if meta["seen_mode"] == "exact":
+            urls = pq.read_table(os.path.join(d, "seen.parquet"))["url"].to_pylist()
+            self.seen.load_state_dict({"mode": "exact", "urls": urls})
+        else:
+            with np.load(os.path.join(d, "seen.npz")) as z:
+                st = {k: z[k] for k in z.files}
+            st["mode"] = "approx"
+            self.seen.load_state_dict(st)
+
+    def dump_seen(self) -> list[str]:
+        """Exact-mode seen URLs of this shard (parity tests only)."""
+        if self.seen.mode != "exact":
+            raise RuntimeError("dump_seen requires seen_mode='exact'")
+        return sorted(self.seen._set)
+
+    def ping(self) -> int:
+        return self.part
