@@ -1,44 +1,77 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares it against the matching ``oracle_sql()[name]`` via DuckDB. Neither
+this module nor the library code calls ``ray.init``/``ray.shutdown`` — only
+``bench.py``, CLI entry points and the test fixture own a Ray session.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: a full crawl wave loop over sf0.001-derived input.
+
+    The images input table (BASELINE.json input_hint schema) takes its
+    captions from the sf0.001 ``documents`` table, then the Ray-Data crawl
+    engine runs end-to-end (drain → fetch/decode actor pool → archive append
+    → canonicalize/filter → sharded seen-set anti-join → frontier insert →
+    checkpoint) and the archived image+caption rows are returned as a
+    ``ray.data.Dataset``.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from scraper_ray.sources.fixtures import build_images_table
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
+    images = build_images_table(48, captions=captions)
+
+    out_dir = os.path.join(tempfile.gettempdir(), "scraper_ray_entry")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        out_dir=out_dir,
+        num_parts=4,
+        max_rounds=4,
+        n_hosts=12,
+        max_degree=6,
+        n_images=images.num_rows,
+        html=True,
+        rate=2.0,
+        burst=3.0,
+        fetch_concurrency=2,
+        router_concurrency=2,
+    )
+    run_crawl(cfg, images)
+    archive = rd.read_parquet(os.path.join(out_dir, "archive"))
+    return archive.drop_columns(["bytes"])  # stable, driver-friendly schema
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+    training-data operations (dedup families, similarity search, text
+    analysis). Each callable takes ``sf_dir`` and returns a Dataset / pandas
+    DataFrame / pyarrow Table with column names matching ``oracle_sql``."""
+    from scraper_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names). Entries
+    absent here (minhash/simhash near-dup, lang-id, quality, fingerprints)
+    are not SQL-expressible → the driver records the weaker rows-only check."""
+    from scraper_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -43,7 +43,7 @@ from ..functions.hashing import hash64_batch, part_of, priority_of
 from ..functions.urlnorm import canonicalize_batch
 from ..sources import tableio
 from ..sources.fixtures import build_images_table, seed_urls
-from ..stages.fetch import Fetcher, LinkRouter
+from ..stages.fetch import WaveWorkerPool
 from ..stages.filters import HostFilter
 from ..state.shard import StateShard
 
@@ -86,6 +86,7 @@ class CrawlConfig:
     batch_size: int = 256
     checkpoint_every: int = 1
     fail_mod: int = 0
+    verify_decode: bool = False  # per-row decode+PSNR invariant during fetch
     spill_threshold: int = 2_000_000
 
     def web_dict(self) -> dict:
@@ -140,7 +141,6 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
               resume: bool = False) -> dict:
     """Run (or resume) a crawl; returns the lineage/metrics summary dict."""
     import ray
-    import ray.data as rd
 
     out = cfg.out_dir
     archive_dir = os.path.join(out, "archive")
@@ -164,6 +164,24 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             os.path.join(spill_dir, f"part{p:04d}"),
         )
         for p in range(cfg.num_parts)
+    ]
+
+    # persistent fetch/route worker pool, created ONCE for all waves (see
+    # stages/fetch.py WaveWorkerPool for the rationale and measurements)
+    PoolActor = ray.remote(num_cpus=1)(WaveWorkerPool)
+    workers = [
+        PoolActor.remote(
+            images_ref=images_ref,
+            web_cfg=cfg.web_dict(),
+            fail_mod=cfg.fail_mod,
+            shard_handles=shards,
+            filter_cfg=filt.to_dict(),
+            num_parts=cfg.num_parts,
+            archive_dir=archive_dir,
+            errors_dir=errors_dir,
+            verify_decode=cfg.verify_decode,
+        )
+        for _ in range(cfg.fetch_concurrency)
     ]
 
     manifest_path = os.path.join(ckpt_dir, "manifest.json")
@@ -228,80 +246,46 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             os.path.join(_round_dir(order_dir, r) + ".parquet"),
         )
 
-        # 2. fetch — actor-pool map_batches over the wave
-        nchunks = max(1, min(cfg.fetch_concurrency * 4,
-                             (wave.num_rows + cfg.batch_size - 1) // cfg.batch_size))
+        # 2-4. fused wave stage: fetch + archive-fragment write + link routing
+        # in ONE actor-pool execution (image bytes never re-enter the object
+        # store; the archive write parallelizes across the pool)
+        for base in (archive_dir, errors_dir):
+            rdir = _round_dir(base, r)
+            if os.path.exists(rdir):
+                shutil.rmtree(rdir)
+        # adaptive chunking: ~2 chunks per pool worker (tail overlap without
+        # a per-batch shard-call storm), within [512, 4096] rows
+        bs = max(512, min(max(cfg.batch_size, 4096),
+                          -(-wave.num_rows // (2 * cfg.fetch_concurrency))))
+        nchunks = max(1, -(-wave.num_rows // bs))
         step = (wave.num_rows + nchunks - 1) // nchunks
         chunks = [wave.slice(i * step, step) for i in range(nchunks)
                   if i * step < wave.num_rows]
-        ds = rd.from_arrow(chunks)
-        fetched = ds.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={
-                "images_ref": images_ref,
-                "web_cfg": cfg.web_dict(),
-                "round_idx": r,
-                "fail_mod": cfg.fail_mod,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
-        ).materialize()
-
-        # 3. archive append (+ error routing)
-        t0 = time.perf_counter()
-        ok = fetched.map_batches(
-            lambda t: t.filter(pa.compute.equal(t["error_kind"], ""))
-                       .select(ARCHIVE_COLUMNS),
-            batch_format="pyarrow",
-        )
-        rdir = _round_dir(archive_dir, r)
-        if os.path.exists(rdir):
-            shutil.rmtree(rdir)
-        ok.write_parquet(rdir)
-        err_ds = fetched.map_batches(
-            lambda t: t.filter(pa.compute.not_equal(t["error_kind"], ""))
-                       .select(["url", "host", "round", "depth", "error_kind"]),
-            batch_format="pyarrow",
-        )
-        nerr = err_ds.count()
-        if nerr:
-            edir = _round_dir(errors_dir, r)
-            if os.path.exists(edir):
-                shutil.rmtree(edir)
-            err_ds.write_parquet(edir)
-        archive_ms = (time.perf_counter() - t0) * 1000
-
-        # 4. link routing → shard anti-join + frontier insert
-        summaries = fetched.map_batches(
-            LinkRouter,
-            fn_constructor_kwargs={
-                "shard_handles": shards,
-                "filter_cfg": filt.to_dict(),
-                "num_parts": cfg.num_parts,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.router_concurrency,
-            num_cpus=1,
-        ).take_all()
+        futs = [workers[i % len(workers)].process.remote(c, r)
+                for i, c in enumerate(chunks)]
+        summaries = ray.get(futs)
 
         agg = {k: 0.0 for k in (
             "pages", "errors", "extracted_links", "normalised_links",
             "filtered_links", "culled_links", "submitted_links",
             "download_ms", "extract_ms", "normalise_ms", "filter_ms",
-            "culling_ms",
+            "culling_ms", "archive_ms",
         )}
+        shard_futs = []
         for row in summaries:
+            shard_futs.extend(row.pop("shard_futs", []))
             for k in agg:
                 agg[k] += row[k]
+        # resolve the non-blocking shard anti-join calls at the round barrier
+        # (all inserts must land before the next drain)
+        for res in ray.get(shard_futs):
+            agg["culled_links"] += res["culled"]
+            agg["submitted_links"] += res["submitted"]
         pages_total += int(agg["pages"])
         row = {
             "round": r,
             "wave_rows": wave.num_rows,
             "receive_ms": receive_ms,
-            "archive_ms": archive_ms,
             "finishing_ms": (time.perf_counter() - t_round) * 1000,
             **{k: (int(v) if not k.endswith("_ms") else v) for k, v in agg.items()},
         }
@@ -391,3 +375,65 @@ def dump_seen(shards) -> list[str]:
     for urls in ray.get([s.dump_seen.remote() for s in shards]):
         out.extend(urls)
     return sorted(out)
+
+
+def main(argv=None) -> None:
+    """CLI entry for ``ray job submit -- python -m scraper_ray.pipelines.crawl …``.
+
+    Owns its Ray session (guarded — the driver-contract functions never init).
+    """
+    import argparse
+    import json as _json
+
+    p = argparse.ArgumentParser(description="Ray-Data crawl engine")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--seeds", help="file with one seed URL per line")
+    p.add_argument("--rounds", type=int, default=8)
+    p.add_argument("--parts", type=int, default=16)
+    p.add_argument("--rate", type=float, default=2.0)
+    p.add_argument("--burst", type=float, default=4.0)
+    p.add_argument("--hosts", type=int, default=40)
+    p.add_argument("--degree", type=int, default=8)
+    p.add_argument("--images", type=int, default=256)
+    p.add_argument("--seen-mode", choices=["exact", "approx"], default="approx")
+    p.add_argument("--filter-mode", choices=["none", "black", "white"],
+                   default="none")
+    p.add_argument("--filter-file", help="host-substring list, one per line")
+    p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-html", action="store_true",
+                   help="direct link mode (bench/scale)")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    entries = []
+    if args.filter_file:
+        from ..stages.filters import read_filter_file
+
+        entries = read_filter_file(args.filter_file)
+    seeds = seed_urls(args.hosts)
+    if args.seeds:
+        with open(args.seeds) as f:
+            seeds = [line.strip() for line in f if line.strip()]
+    cfg = CrawlConfig(
+        out_dir=args.out, seeds=seeds, num_parts=args.parts,
+        seen_mode=args.seen_mode, rate=args.rate, burst=args.burst,
+        max_rounds=args.rounds, n_hosts=args.hosts, max_degree=args.degree,
+        n_images=args.images, html=not args.no_html,
+        filter_mode=args.filter_mode, filter_entries=entries,
+        fetch_concurrency=args.concurrency,
+    )
+    res = run_crawl(cfg, resume=args.resume)
+    res.pop("_shards", None)
+    res.pop("metrics", None)
+    print(_json.dumps(res, default=str))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,851 @@
+"""Generic Ray-Data query/operator suite over the driver testdata tables.
+
+Every entry here is exposed through ``__ray_entry__.queries()`` and (where
+SQL-expressible) checked row-for-row against DuckDB oracle SQL at sf=0.01.
+The suite exercises the engine's operator inventory (SURVEY.md §2) on the
+TPC-H-ish tables plus the training-data-pipeline operations (dedup families,
+similarity search, text analysis) on ``documents``/``embeddings``.
+
+Scale discipline applied throughout:
+- reads prune columns (``read_parquet(columns=[...])``);
+- aggregations pre-aggregate per batch (partial/combiner) before the small
+  global ``groupby`` — the shuffle moves partials, not rows;
+- small sides (dimension lookups, key sets, query matrices) are broadcast by
+  closure capture / ``ray.put``, never shuffled;
+- per-batch bodies are vectorized (pyarrow.compute / numpy / pandas);
+- results returned to the driver are aggregate-sized, never the input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# 1. grouped aggregation with partial pre-aggregation (reference A1 funnel-
+#    count style sums, at TPC-H q1 shape)
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    # money in exact integer units (cents / 1e-4-currency) so summation is
+    # order-independent and matches the SQL oracle bit-for-bit — float sums of
+    # ~1e9 magnitudes differ at the 1e-2 level depending on reduction order
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        price_c = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        disc_c = np.rint(df["l_discount"] * 100).astype("int64")
+        df["sum_qty"] = np.rint(df["l_quantity"]).astype("int64")
+        df["sum_base_price_cents"] = price_c
+        df["sum_revenue_c4"] = price_c * (100 - disc_c)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price_cents=("sum_base_price_cents", "sum"),
+            sum_revenue_c4=("sum_revenue_c4", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_revenue_c4", alias_name="sum_revenue_c4"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas()
+    for c in ("sum_qty", "sum_base_price_cents", "sum_revenue_c4", "count_order"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_revenue_c4,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. broadcast (small-side) join + top-k sort: the reference's filter-list
+#    broadcast pattern applied to a dimension join
+
+def q_top_building_orders(sf_dir: str):
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys_ref = ray.put(keys)
+
+    def flt(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(ks), pa.int64()))
+        return t.filter(mask)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    df = out.to_pandas()[["o_orderkey", "o_totalprice"]]
+    df["o_totalprice"] = df["o_totalprice"].round(4)
+    return df
+
+
+Q_TOP_BUILDING_SQL = """
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. large-large hash join (both sides shuffle on the key) + grouped agg
+
+def q_priority_revenue(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        price_c = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        disc_c = np.rint(df["l_discount"] * 100).astype("int64")
+        df["revenue_c4"] = price_c * (100 - disc_c)
+        g = df.groupby("l_orderkey", as_index=False)["revenue_c4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    li_agg = (
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4")
+    )
+    df = out.to_pandas()
+    df["revenue_c4"] = df["revenue_c4"].astype("int64")
+    return df
+
+
+Q_PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. anti-join vs a broadcast key set — the crawl engine's cull_known (J1)
+#    expressed over testdata (reference rmqredis.rs:267-290)
+
+def q_cull_known(sf_dir: str):
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    seen = set(cust.loc[cust["c_acctbal"] < 0, "c_custkey"])  # the "seen set"
+    seen_ref = ray.put(seen)
+
+    def cull(t: pa.Table) -> pa.Table:
+        ks = ray.get(seen_ref)
+        mask = pc.invert(
+            pc.is_in(t["o_custkey"], value_set=pa.array(list(ks), pa.int64()))
+        )
+        return t.filter(mask)
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    out = (
+        ds.map_batches(cull, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    df = out.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+Q_CULL_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. distinct / dedup-exact on keys (groupby + count)
+
+def q_lang_source_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    df = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+Q_LANG_SOURCE_SQL = "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source"
+
+
+# ---------------------------------------------------------------------------
+# 6. global sort + limit (top-k)
+
+def q_top_lineitems(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(15)
+    df = out.to_pandas()
+    df["l_extendedprice"] = df["l_extendedprice"].round(4)
+    return df
+
+
+Q_TOP_LINEITEMS_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. event-time tumbling window (daily) per user — streaming-shaped workload
+#    as partial agg + groupby (no driver loops)
+
+def q_events_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        tt = pa.table({"user_id": t["user_id"], "day": day, "value": t["value"]})
+        df = tt.to_pandas()
+        # exact integer milli-units so the sum is order-independent (see q1)
+        df["value_milli"] = np.rint(df["value"] * 1000).astype("int64")
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            n_events=("value_milli", "size"), sum_value_milli=("value_milli", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_milli", alias_name="sum_value_milli"))
+    )
+    df = out.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value_milli"] = df["sum_value_milli"].astype("int64")
+    return df
+
+
+Q_EVENTS_DAILY_SQL = """
+SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. session windows (30-min inactivity gap) per user — sorted map_groups,
+#    the ordered-log pattern for stream-shaped semantics
+
+def q_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        new_session = (gaps.isna()) | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "n_sessions": [int(new_session.sum())]}
+        )
+
+    df = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    return df
+
+
+Q_SESSIONIZE_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, sum(new_s) AS n_sessions FROM d GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. blacklist substring filter (reference F2 semantics over documents.source)
+
+def q_source_blacklist(sf_dir: str):
+    from ..stages.filters import HostFilter
+    from ray.data.aggregate import Count
+
+    filt = HostFilter("black", ["src1"])  # substring: drops src1, src10..src19
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = (
+        ds.map_batches(lambda t: t.filter(filt.mask(t["source"].combine_chunks())),
+                       batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    df = out.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+Q_SOURCE_BLACKLIST_SQL = """
+SELECT source, count(*) AS n_docs FROM documents
+WHERE source NOT LIKE '%src1%' GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. exact text dedup (hash-partition, keep first = min doc_id per text)
+
+def q_dedup_exact(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+Q_DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+# ---------------------------------------------------------------------------
+# 11. token statistics per source (whitespace tokenizer, SQL-matched)
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        tt = pa.table({"source": t["source"],
+                       "ntok": ntok.cast(pa.int64()),
+                       "n_chars": t["n_chars"]})
+        df = tt.to_pandas().groupby("source", as_index=False).agg(
+            n_docs=("ntok", "size"), sum_tokens=("ntok", "sum"),
+            sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    )
+    df = out.to_pandas()
+    for c in ("n_docs", "sum_tokens", "sum_chars"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+Q_TOKEN_STATS_SQL = """
+SELECT source, count(*) AS n_docs,
+       sum(array_length(string_split(text, ' '))) AS sum_tokens,
+       sum(n_chars) AS sum_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. brute-force cosine top-k similarity search (ANN baseline): broadcast
+#     query matrix, per-batch numpy matmul, per-batch top-k, tiny final merge
+
+ANN_K = 5
+ANN_NQ = 10
+
+
+def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
+    import pyarrow.parquet as pq
+    import ray
+
+    emb_file = f"{sf_dir}/embeddings.parquet"
+    qt = pq.read_table(emb_file).slice(0, nq)
+    qids = qt["vec_id"].to_pylist()
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qm))
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm_ @ m.T  # (nq, batch)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(qids_):
+            s = sims[qi]
+            mask = vids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            order = idx[np.argsort(-s[idx], kind="stable")][:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["neighbor_id"].extend(vids[order].tolist())
+            rows["sim"].extend(np.round(s[order], 6).tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64()),
+        })
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    return ds.map_batches(topk_batch, batch_format="pyarrow", batch_size=4096)
+
+
+def q_ann_topk(sf_dir: str):
+    parts = _ann_partials(sf_dir).to_pandas()  # ≤ nbatches × nq × k rows
+    parts = parts.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = parts.groupby("query_id", as_index=False).head(ANN_K)
+    return out[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+
+Q_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {ANN_NQ}),
+     s AS (SELECT q.qid, e.vec_id AS vid,
+                  round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+     r AS (SELECT qid, vid, row_number() OVER
+              (PARTITION BY qid ORDER BY sim DESC, vid) AS rn FROM s)
+SELECT qid AS query_id, vid AS neighbor_id FROM r WHERE rn <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. embedding-cosine near-duplicate pairs (threshold join)
+
+def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    emb_file = f"{sf_dir}/embeddings.parquet"
+    # the full (normalized) matrix is broadcast once; each batch compares its
+    # rows against all rows with larger vec_id (upper-triangle, no dup pairs)
+    full = pq.read_table(emb_file, columns=["vec_id", "embedding"])
+    all_ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
+    allm = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    allm /= np.linalg.norm(allm, axis=1, keepdims=True)
+    ref = ray.put((all_ids, allm))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_, m_ = ray.get(ref)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m_.T
+        a_out, b_out = [], []
+        for i in range(len(vids)):
+            hits = np.nonzero((np.round(sims[i], 6) >= thresh) & (ids_ > vids[i]))[0]
+            a_out.extend([vids[i]] * len(hits))
+            b_out.extend(ids_[hits].tolist())
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    ds = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    df = ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048).to_pandas()
+    if len(df) == 0:  # empty Datasets drop the schema through to_pandas
+        df = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                           "id_b": pd.Series([], dtype="int64")})
+    return df
+
+
+Q_EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14-17. non-SQL-expressible training-data ops (rows-only driver check)
+
+def q_minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs verified by true Jaccard ≥ 0.5
+    over word 3-shingles. Shingle→signature per batch; explode to
+    (band, band_hash, doc_id); groupby band buckets → candidate pairs;
+    verify with exact Jaccard (narrow re-read of candidates only)."""
+    import ray.data as rd
+    from ..functions.sketches import MinHasher
+    from ..functions.textstats import jaccard, word_shingles
+
+    mh = MinHasher(num_perm=64, bands=16)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        doc_ids, bands, bhs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = mh.signature(word_shingles(text, 3))
+            bh = mh.band_hashes(sig)
+            doc_ids.extend([did] * mh.nbands)
+            bands.extend(range(mh.nbands))
+            bhs.extend(bh.tolist())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(bhs, pa.uint64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    banded = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    cand = cand.drop_duplicates().astype("int64")
+    # verify candidates with true jaccard (small set; texts fetched once)
+    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", need)])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    keep_a, keep_b = [], []
+    for ia, ib in zip(cand["id_a"], cand["id_b"]):
+        if jaccard(word_shingles(texts[ia], 3), word_shingles(texts[ib], 3)) >= 0.5:
+            keep_a.append(int(ia))
+            keep_b.append(int(ib))
+    return pd.DataFrame({"id_a": pd.Series(keep_a, dtype="int64"),
+                         "id_b": pd.Series(keep_b, dtype="int64")})
+
+
+def q_simhash_dups(sf_dir: str):
+    """SimHash near-dup: 64-bit simhash per doc, banded into 4×16-bit chunks
+    (hamming ≤ 3 ⇒ at least one chunk equal); groupby chunk buckets, verify
+    hamming ≤ 3. Returns (id_a, id_b) pairs."""
+    import ray.data as rd
+    from ..functions.sketches import hamming64, simhash_text
+
+    def sh(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hs = [simhash_text(x) for x in t["text"].to_pylist()]
+        out = {"doc_id": [], "chunk": [], "chunk_val": [], "simhash": []}
+        for did, h in zip(ids, hs):
+            for c in range(4):
+                out["doc_id"].append(did)
+                out["chunk"].append(c)
+                out["chunk_val"].append((h >> (16 * c)) & 0xFFFF)
+                out["simhash"].append(h)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk": pa.array(out["chunk"], pa.int32()),
+            "chunk_val": pa.array(out["chunk_val"], pa.int32()),
+            "simhash": pa.array(out["simhash"], pa.uint64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        hs = g["simhash"].tolist()
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if hamming64(int(hs[i]), int(hs[j])) <= 3:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = (
+        ds.map_batches(sh, batch_format="pyarrow")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return pairs.drop_duplicates().astype("int64").sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-ID counts vs the labelled ``lang`` column —
+    (lang, lang_pred, n) confusion counts."""
+    from ..functions.textstats import detect_lang
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "lang_pred": [detect_lang(x) for x in t["text"].to_pylist()],
+        })
+
+    df = (
+        ds.map_batches(pred, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def q_quality_scores(sf_dir: str):
+    """Per-doc quality features + score (deterministic floats rounded)."""
+    from ..functions.textstats import quality_features, quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "n_tokens": [], "quality": []}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            f = quality_features(text)
+            rows["doc_id"].append(did)
+            rows["n_tokens"].append(f["n_tokens"])
+            rows["quality"].append(round(quality_score(f), 6))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "quality": pa.array(rows["quality"], pa.float64()),
+        })
+
+    return ds.map_batches(feat, batch_format="pyarrow").to_pandas()
+
+
+def q_fingerprints(sf_dir: str):
+    """64-bit rolling-window fingerprints per document (stored as int64)."""
+    from ..functions.textstats import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [fingerprint(x) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array(np.array(vals, dtype=np.uint64).view(np.int64)),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+
+
+def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
+              nlist: int = 16, nprobe: int = 4):
+    """IVF-style ANN (the scale path next to the brute-force baseline):
+    deterministic coarse centroids (3 Lloyd iterations from seeded init),
+    inverted-list assignment per batch, queries probe only their ``nprobe``
+    nearest lists. Returns (query_id, neighbor_id); recall vs brute force is
+    pinned in tests, not exactness — pruning is the point."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    emb_file = f"{sf_dir}/embeddings.parquet"
+    full = pq.read_table(emb_file, columns=["vec_id", "embedding"])
+    ids_all = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
+    m_all = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+
+    # deterministic k-means (seeded init, 3 iterations) on a driver-side
+    # sample — at 100TB scale this trains on ds.random_sample and broadcasts
+    rng = np.random.Generator(np.random.PCG64(42))
+    sample = m_all[rng.choice(len(m_all), size=min(len(m_all), 4096),
+                              replace=False)]
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)),
+                             replace=False)].copy()
+    for _ in range(3):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = sample[mask].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    qids = ids_all[:nq].tolist()
+    qm = m_all[:nq]
+    q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    bcast = ray.put((qids, qm, cent, q_probe))
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_, cent_, q_probe_ = ray.get(bcast)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        clusters = np.argmax(m @ cent_.T, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        sims = qm_ @ m.T
+        for qi, qid in enumerate(qids_):
+            probe_mask = np.isin(clusters, q_probe_[qi]) & (vids != qid)
+            idx = np.nonzero(probe_mask)[0]
+            if len(idx) == 0:
+                continue
+            order = idx[np.argsort(-sims[qi][idx], kind="stable")][:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["neighbor_id"].extend(vids[order].tolist())
+            rows["sim"].extend(np.round(sims[qi][order], 6).tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64()),
+        })
+
+    ds = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    parts = ds.map_batches(topk_batch, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64")})
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_id", as_index=False).head(k)
+    return out[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+
+def q_multimodal_image_stats(sf_dir: str):
+    """Multimodal pipeline over binary image columns: build the images input
+    table (captions from the sf documents table), then actor-pool
+    decode → feature-extract stages, aggregated per format. Exercises the
+    real in-repo codecs end-to-end through Ray Data."""
+    import ray.data as rd
+    from ..sources.fixtures import build_images_table
+    from ..stages.multimodal import DecodeImages, ImageFeatures
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
+    images = build_images_table(48, captions=captions)
+    ds = rd.from_arrow(images)
+    feats = (
+        ds.map_batches(DecodeImages, batch_format="pyarrow", batch_size=16,
+                       concurrency=2)
+        .map_batches(ImageFeatures, batch_format="pyarrow", batch_size=16,
+                     concurrency=2)
+    )
+
+    def to_stats(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["decode_ok"], pa.int64())
+        phash_match = pc.cast(pc.equal(t["phash"], t["phash_computed"]), pa.int64())
+        lum_milli = pc.cast(pc.round(pc.multiply(t["mean_luminance"], 1000)), pa.int64())
+        return pa.table({
+            "fmt": t["fmt"], "decoded": ok, "phash_match": phash_match,
+            "lum_milli": lum_milli,
+        })
+
+    out = (
+        feats.map_batches(to_stats, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Count(alias_name="n"),
+                   Sum("decoded", alias_name="n_decoded"),
+                   Sum("phash_match", alias_name="n_phash_match"),
+                   Sum("lum_milli", alias_name="sum_lum_milli"))
+    )
+    df = out.to_pandas()
+    for c in ("n", "n_decoded", "n_phash_match", "sum_lum_milli"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_building_orders": q_top_building_orders,
+    "priority_revenue_join": q_priority_revenue,
+    "cull_known_anti_join": q_cull_known,
+    "lang_source_counts": q_lang_source_counts,
+    "top_lineitems": q_top_lineitems,
+    "events_daily": q_events_daily,
+    "sessionize": q_sessionize,
+    "source_blacklist": q_source_blacklist,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_dups": q_simhash_dups,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": Q_PRICING_SQL,
+    "top_building_orders": Q_TOP_BUILDING_SQL,
+    "priority_revenue_join": Q_PRIORITY_REVENUE_SQL,
+    "cull_known_anti_join": Q_CULL_SQL,
+    "lang_source_counts": Q_LANG_SOURCE_SQL,
+    "top_lineitems": Q_TOP_LINEITEMS_SQL,
+    "events_daily": Q_EVENTS_DAILY_SQL,
+    "sessionize": Q_SESSIONIZE_SQL,
+    "source_blacklist": Q_SOURCE_BLACKLIST_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "token_stats": Q_TOKEN_STATS_SQL,
+    "ann_topk": Q_ANN_SQL,
+    "embedding_near_dup": Q_EMB_NEAR_DUP_SQL,
+    # minhash_near_dup / simhash_dups / lang_id / quality_scores /
+    # fingerprints are not SQL-expressible → rows-only driver check
+}

@@ -28,7 +28,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ..functions.hashing import _splitmix_fin, hash64
+import numpy as np
+
+from ..functions.hashing import _splitmix_fin, hash64, hash64_batch
 
 _M64 = (1 << 64) - 1
 
@@ -82,6 +84,51 @@ class SynthWeb:
     def image_index(self, url: str) -> int:
         assert self.cfg.n_images > 0, "n_images not configured"
         return hash64("img::" + url) % self.cfg.n_images
+
+    # -- vectorized batch path (bench/scale mode; bit-identical to the
+    #    scalar functions above — pinned by tests) --------------------------
+    def page_batch(self, urls: list[str], hosts: list[str]):
+        """(image_idx int64[n], links list[list[str]], disallowed bool[n])
+        computed with batch hashing — one numpy pass instead of per-URL
+        Python hashing in the fetch hot loop."""
+        n = len(urls)
+        cfg = self.cfg
+        img = (hash64_batch(["img::" + u for u in urls])
+               % np.uint64(cfg.n_images)).astype(np.int64)
+        deg = (hash64_batch(["deg::" + u for u in urls])
+               % np.uint64(cfg.max_degree + 1)).astype(np.int64)
+        h = hash64_batch(["link::" + u for u in urls])
+        # robots: URL disallowed iff path under /private/ AND host disallows
+        host_dis = np.fromiter(
+            (self.host_disallows_private(hh) for hh in hosts), dtype=bool, count=n
+        )
+        # path.startswith('/private/') — find the first '/' after the scheme
+        priv = np.fromiter(
+            (u.startswith("/private/", u.find("/", 8)) if u.find("/", 8) > 0
+             else False for u in urls),
+            dtype=bool, count=n,
+        )
+        disallowed = host_dis & priv
+        # child link matrix, vectorized per column j
+        links: list[list[str]] = [[] for _ in range(n)]
+        maxd = int(deg.max()) if n else 0
+        with np.errstate(over="ignore"):
+            for j in range(maxd):
+                # mask the >64-bit python constant: h ^ c == h ^ (c & M64)
+                hj = (h ^ np.uint64((j * 0x9E3779B97F4A7C15 + 0x1234567) & _M64))
+                hj = (hj ^ (hj >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                hj = (hj ^ (hj >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                hj = hj ^ (hj >> np.uint64(31))
+                hot = (hj % np.uint64(100)) < np.uint64(cfg.hot_host_pct)
+                k = np.where(hot, np.uint64(0),
+                             (hj // np.uint64(100)) % np.uint64(cfg.n_hosts))
+                is_priv = (hj % np.uint64(cfg.private_mod)) == 0
+                live = np.nonzero(deg > j)[0]
+                for i in live:
+                    leaf = f"{int(hj[i]):016x}"
+                    seg = "/private/p/" if is_priv[i] else "/p/"
+                    links[int(i)].append(f"http://h{int(k[i])}.test{seg}{leaf}")
+        return img, links, disallowed
 
     # -- html rendering (test mode) ----------------------------------------
     def html(self, url: str) -> str:

@@ -20,6 +20,7 @@ funnel-count summary row per input batch — the reference's monotone funnel
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -59,6 +60,7 @@ class Fetcher:
         web_cfg: dict,
         round_idx: int = 0,
         fail_mod: int = 0,
+        verify_decode: bool = False,
     ):
         import ray
 
@@ -67,6 +69,7 @@ class Fetcher:
             if isinstance(images_ref, ray.ObjectRef)
             else images_ref
         )
+        self.verify_decode = verify_decode
         # column-wise python lists once per actor; rows are tiny and access is O(1)
         self.image_id = images["image_id"].to_pylist()
         self.blob = images["bytes"].to_pylist()
@@ -86,6 +89,8 @@ class Fetcher:
         hosts = batch["host"].to_pylist()
         depths = batch["depth"].to_pylist()
         n = len(urls)
+        if not self.web.cfg.html:
+            return self._call_vectorized(batch, urls, hosts, depths, t0)
         cols: dict[str, list] = {k: [] for k in (
             "error_kind", "image_id", "bytes", "w", "h", "fmt", "caption",
             "phash", "body", "links",
@@ -117,6 +122,13 @@ class Fetcher:
                 cols["links"].append([])
                 continue
             idx = web.image_index(url)
+            if self.verify_decode and not self._verify(idx):
+                cols["error_kind"].append("DecodeError")
+                for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+                    cols[k].append(None)
+                cols["body"].append("")
+                cols["links"].append([])
+                continue
             cols["error_kind"].append("")
             cols["image_id"].append(self.image_id[idx])
             cols["bytes"].append(self.blob[idx])
@@ -154,11 +166,98 @@ class Fetcher:
             schema=FETCH_SCHEMA,
         )
 
+    def _verify(self, idx: int) -> bool:
+        """Per-row archive invariant during fetch (BASELINE.json input_hint):
+        decode the payload and check exact pixels (lossless) / PSNR ≥ 40 dB
+        (lossy) against the regenerable ground truth. Deliberately uncached —
+        the stand-in for decoding genuinely distinct fetched content."""
+        from ..functions import codec
+        from ..sources.fixtures import index_of_image_id
+
+        gt = codec.gen_pixels(index_of_image_id(self.image_id[idx]))
+        try:
+            px = codec.decode(self.blob[idx], self.fmt[idx])
+        except Exception:
+            return False
+        if px.shape != gt.shape:
+            return False
+        if self.fmt[idx] == "lqi":
+            return codec.psnr(gt, px) >= 40.0
+        return bool(np.array_equal(px, gt))
+
+    def _call_vectorized(self, batch: pa.Table, urls, hosts, depths, t0):
+        """Direct (non-HTML) mode: batch hashing via SynthWeb.page_batch —
+        the scale path; bit-identical outputs to the scalar loop."""
+        n = len(urls)
+        tv0 = time.perf_counter()
+        img_idx, links, disallowed = self.web.page_batch(urls, hosts)
+        tv1 = time.perf_counter()
+        if self.fail_mod:
+            from ..functions.hashing import hash64_batch
+
+            failed = (hash64_batch(["fail::" + u for u in urls])
+                      % np.uint64(self.fail_mod)) == 0
+        else:
+            failed = np.zeros(n, dtype=bool)
+        err_kinds = np.where(disallowed, "RobotsDisallowed",
+                             np.where(failed, "NetworkError", ""))
+        ok = ~(disallowed | (failed & ~disallowed))
+        if self.verify_decode:
+            bad = np.zeros(n, dtype=bool)
+            for i in np.nonzero(ok)[0]:
+                if not self._verify(int(img_idx[i])):
+                    bad[i] = True
+            if bad.any():
+                err_kinds = np.where(bad, "DecodeError", err_kinds)
+                ok &= ~bad
+        tv2 = time.perf_counter()
+        if os.environ.get("SCRAPER_RAY_DEBUG_TIMING"):
+            import sys
+
+            print(f"[fetchtiming] r={self.round_idx} rows={n} "
+                  f"pagegen={tv1 - tv0:.3f} verify={tv2 - tv1:.3f}",
+                  file=sys.stderr, flush=True)
+        cols = {
+            "error_kind": err_kinds.tolist(),
+            "body": [""] * n,
+            "image_id": [self.image_id[img_idx[i]] if ok[i] else None for i in range(n)],
+            "bytes": [self.blob[img_idx[i]] if ok[i] else None for i in range(n)],
+            "w": [self.w[img_idx[i]] if ok[i] else None for i in range(n)],
+            "h": [self.h[img_idx[i]] if ok[i] else None for i in range(n)],
+            "fmt": [self.fmt[img_idx[i]] if ok[i] else None for i in range(n)],
+            "caption": [self.caption[img_idx[i]] if ok[i] else None for i in range(n)],
+            "phash": [self.phash[img_idx[i]] if ok[i] else None for i in range(n)],
+            "links": [links[i] if ok[i] else [] for i in range(n)],
+        }
+        ms = (time.perf_counter() - t0) * 1000.0
+        per_row = ms / max(n, 1)
+        return pa.table(
+            {
+                "url": urls,
+                "host": hosts,
+                "depth": pa.array(depths, pa.int32()),
+                "round": pa.array([self.round_idx] * n, pa.int32()),
+                "error_kind": cols["error_kind"],
+                "image_id": cols["image_id"],
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "w": pa.array(cols["w"], pa.int32()),
+                "h": pa.array(cols["h"], pa.int32()),
+                "fmt": cols["fmt"],
+                "caption": cols["caption"],
+                "phash": pa.array(cols["phash"], pa.int64()),
+                "body": cols["body"],
+                "links": pa.array(cols["links"], pa.list_(pa.string())),
+                "download_ms": pa.array([per_row] * n, pa.float64()),
+            },
+            schema=FETCH_SCHEMA,
+        )
+
 
 SUMMARY_SCHEMA = pa.schema(
     [
         ("pages", pa.int64()),
         ("errors", pa.int64()),
+        ("archive_ms", pa.float64()),
         ("extracted_links", pa.int64()),
         ("normalised_links", pa.int64()),
         ("filtered_links", pa.int64()),
@@ -174,19 +273,31 @@ SUMMARY_SCHEMA = pa.schema(
 
 
 class LinkRouter:
-    def __init__(self, shard_handles: list, filter_cfg: dict, num_parts: int):
+    def __init__(self, shard_handles: list, filter_cfg: dict, num_parts: int,
+                 blocking: bool = True):
         self.shards = shard_handles
         self.filter = HostFilter.from_dict(filter_cfg)
         self.num_parts = num_parts
+        # blocking=False: return shard futures instead of ray.get-ing them —
+        # a worker blocked in ray.get spin-waits and burns a core while its
+        # pool-mates compute; the driver resolves the futures at the round
+        # barrier instead (it has to wait for the round anyway)
+        self.blocking = blocking
+        self.pending_futs: list = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
+        return self.route_pages(
+            batch["url"].to_pylist(),
+            batch["body"].to_pylist(),
+            batch["links"].to_pylist(),
+            batch["error_kind"].to_pylist(),
+            batch["depth"].to_pylist(),
+            float(pa.compute.sum(batch["download_ms"]).as_py() or 0.0),
+        )
 
-        urls = batch["url"].to_pylist()
-        bodies = batch["body"].to_pylist()
-        link_lists = batch["links"].to_pylist()
-        errors = batch["error_kind"].to_pylist()
-        depths = batch["depth"].to_pylist()
+    def route_pages(self, urls, bodies, link_lists, errors, depths,
+                    dl_sum: float) -> pa.Table:
+        import ray
 
         extracted = normalised = filtered = nerrors = 0
         t_extract = t_norm = t_filter = 0.0
@@ -223,39 +334,233 @@ class LinkRouter:
             prios = priority_of(hashes)
             host_hashes = hash64_batch(cand_hosts)
             parts = part_of(host_hashes, self.num_parts)
+            cand = pa.table({
+                "url": pa.array(cand_urls, pa.string()),
+                "host": pa.array(cand_hosts, pa.string()),
+                "url_hash": pa.array(hashes),
+                "priority": pa.array(prios),
+                "depth": pa.array(cand_depths, pa.int32()),
+            })
             futs = []
             for p in np.unique(parts):
                 idx = np.nonzero(parts == p)[0]
                 futs.append(
-                    self.shards[int(p)].check_and_insert.remote(
-                        [cand_urls[j] for j in idx],
-                        [cand_hosts[j] for j in idx],
-                        hashes[idx],
-                        prios[idx],
-                        [cand_depths[j] for j in idx],
+                    self.shards[int(p)].check_and_insert_table.remote(
+                        cand.take(idx)
                     )
                 )
-            for res in ray.get(futs):
-                culled += res["culled"]
-                submitted += res["submitted"]
+            if self.blocking:
+                for res in ray.get(futs):
+                    culled += res["culled"]
+                    submitted += res["submitted"]
+            else:
+                self.pending_futs.extend(futs)
         t_cull = time.perf_counter() - t0
 
-        dl = batch["download_ms"]
-        dl_sum = float(pa.compute.sum(dl).as_py() or 0.0)
+        return self._summary_row(len(urls), nerrors, 0.0, extracted, normalised,
+                                 filtered, culled, submitted, dl_sum,
+                                 t_extract * 1000, t_norm * 1000,
+                                 t_filter * 1000, t_cull * 1000)
+
+    @staticmethod
+    def _summary_row(pages, nerrors, archive_ms, extracted, normalised,
+                     filtered, culled, submitted, dl_sum, extract_ms,
+                     normalise_ms, filter_ms, culling_ms) -> pa.Table:
         return pa.table(
             {
-                "pages": pa.array([len(urls)], pa.int64()),
+                "pages": pa.array([pages], pa.int64()),
                 "errors": pa.array([nerrors], pa.int64()),
+                "archive_ms": pa.array([archive_ms], pa.float64()),
                 "extracted_links": pa.array([extracted], pa.int64()),
                 "normalised_links": pa.array([normalised], pa.int64()),
                 "filtered_links": pa.array([filtered], pa.int64()),
                 "culled_links": pa.array([culled], pa.int64()),
                 "submitted_links": pa.array([submitted], pa.int64()),
                 "download_ms": pa.array([dl_sum], pa.float64()),
-                "extract_ms": pa.array([t_extract * 1000], pa.float64()),
-                "normalise_ms": pa.array([t_norm * 1000], pa.float64()),
-                "filter_ms": pa.array([t_filter * 1000], pa.float64()),
-                "culling_ms": pa.array([t_cull * 1000], pa.float64()),
+                "extract_ms": pa.array([extract_ms], pa.float64()),
+                "normalise_ms": pa.array([normalise_ms], pa.float64()),
+                "filter_ms": pa.array([filter_ms], pa.float64()),
+                "culling_ms": pa.array([culling_ms], pa.float64()),
             },
             schema=SUMMARY_SCHEMA,
+        )
+
+
+class WaveWorker(Fetcher):
+    """The fused per-wave stage: fetch + archive-fragment write + link
+    routing, one actor pool, one dataset execution per wave.
+
+    Fusing matters at scale: the image payload bytes are written straight to
+    the archive fragment from the actor that fetched them — they never
+    re-enter the object store, are never materialized wave-wide, and the
+    archive write parallelizes across the pool. Fragment files are named
+    ``b<uuid>`` under ``archive/round=NNNN/``; the driver deletes a replayed
+    round's directory before re-running it, so resume stays idempotent.
+    """
+
+    def __init__(self, images_ref, web_cfg: dict, round_idx: int,
+                 fail_mod: int, shard_handles: list, filter_cfg: dict,
+                 num_parts: int, archive_dir: str, errors_dir: str,
+                 verify_decode: bool = False):
+        super().__init__(images_ref, web_cfg, round_idx, fail_mod, verify_decode)
+        self.router = LinkRouter(shard_handles, filter_cfg, num_parts)
+        self.archive_dir = archive_dir
+        self.errors_dir = errors_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..pipelines.crawl import ARCHIVE_COLUMNS
+        from ..sources.tableio import append_fragment
+
+        t_f0 = time.perf_counter()
+        fetched = super().__call__(batch)
+        t0 = time.perf_counter()
+        ok_mask = pc.equal(fetched["error_kind"], "")
+        ok_rows = fetched.filter(ok_mask).select(ARCHIVE_COLUMNS)
+        t1 = time.perf_counter()
+        rdir = os.path.join(self.archive_dir, f"round={self.round_idx:04d}")
+        if ok_rows.num_rows:
+            append_fragment(ok_rows, rdir)
+        t2 = time.perf_counter()
+        err_rows = fetched.filter(pc.invert(ok_mask)).select(
+            ["url", "host", "round", "depth", "error_kind"]
+        )
+        if err_rows.num_rows:
+            append_fragment(
+                err_rows,
+                os.path.join(self.errors_dir, f"round={self.round_idx:04d}"),
+            )
+        archive_ms = (time.perf_counter() - t0) * 1000.0
+        if os.environ.get("SCRAPER_RAY_DEBUG_TIMING"):
+            import sys
+
+            print(
+                f"[wavetiming] r={self.round_idx} rows={batch.num_rows} "
+                f"fetch={t0 - t_f0:.3f} filter={t1 - t0:.3f} "
+                f"write={t2 - t1:.3f}",
+                file=sys.stderr, flush=True,
+            )
+        summary = self.router(fetched)
+        return summary.set_column(
+            summary.schema.get_field_index("archive_ms"), "archive_ms",
+            pa.array([archive_ms], pa.float64()),
+        )
+
+
+class WaveWorkerPool(WaveWorker):
+    """Persistent-pool variant: the crawl driver creates these actors ONCE and
+    dispatches wave chunks to them every round.
+
+    Why not a fresh ``map_batches`` actor pool per wave: Ray gives each actor
+    a dedicated process that dies with the pool, so an N-actor pool re-created
+    every round costs N process spawns + interpreter imports per round — at 28
+    actors × 7 rounds that overhead exceeded the wave compute by an order of
+    magnitude (measured: 32-CPU run 4× *slower* than 8-CPU). The iterative
+    frontier feedback loop is exactly the case where the Dataset API's
+    per-pipeline pools don't fit and raw long-lived actors are warranted;
+    everything inside a wave is still zero-copy Arrow batches.
+    """
+
+    def __init__(self, **kw):
+        super().__init__(round_idx=0, **kw)
+        self.router.blocking = False
+
+    def process(self, batch: pa.Table, round_idx: int) -> dict:
+        self.round_idx = round_idx
+        if self.web.cfg.html:
+            t = self(batch)
+        else:
+            t = self._process_direct(batch)
+        out = {col: t[col][0].as_py() for col in t.column_names}
+        out["shard_futs"] = self.router.pending_futs
+        self.router.pending_futs = []
+        return out
+
+    def _process_direct(self, batch: pa.Table) -> pa.Table:
+        """Direct-mode fused path with no intermediate wide Arrow table.
+
+        The generic path builds the full 15-column fetched table (16+ MB of
+        binary per chunk), filters it twice and re-walks it in the router —
+        measured at 3-5× the useful compute on big waves. Here the archive
+        fragment is built once straight from the broadcast blob references and
+        the link lists stay in-process Python objects.
+        """
+        from ..sources.tableio import append_fragment
+
+        t_all0 = time.perf_counter()
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        n = len(urls)
+        img_idx, links, disallowed = self.web.page_batch(urls, hosts)
+        if self.fail_mod:
+            failed = (hash64_batch(["fail::" + u for u in urls])
+                      % np.uint64(self.fail_mod)) == 0
+        else:
+            failed = np.zeros(n, dtype=bool)
+        ok = ~(disallowed | failed)
+        if self.verify_decode:
+            for i in np.nonzero(ok)[0]:
+                if not self._verify(int(img_idx[i])):
+                    ok[i] = False
+                    disallowed[i] = False
+                    failed[i] = False  # mark as decode error below
+        dl_ms = (time.perf_counter() - t_all0) * 1000.0
+
+        t0 = time.perf_counter()
+        t_build = t_write = 0.0
+        ok_idx = np.nonzero(ok)[0]
+        if len(ok_idx):
+            gi = img_idx[ok_idx]
+            archive = pa.table({
+                "url": pa.array([urls[i] for i in ok_idx], pa.string()),
+                "host": pa.array([hosts[i] for i in ok_idx], pa.string()),
+                "round": pa.array([self.round_idx] * len(ok_idx), pa.int32()),
+                "depth": pa.array([depths[i] for i in ok_idx], pa.int32()),
+                "image_id": [self.image_id[j] for j in gi],
+                "bytes": pa.array([self.blob[j] for j in gi], pa.binary()),
+                "w": pa.array([self.w[j] for j in gi], pa.int32()),
+                "h": pa.array([self.h[j] for j in gi], pa.int32()),
+                "fmt": [self.fmt[j] for j in gi],
+                "caption": [self.caption[j] for j in gi],
+                "phash": pa.array([self.phash[j] for j in gi], pa.int64()),
+            })
+            t_build = time.perf_counter() - t0
+            append_fragment(
+                archive,
+                os.path.join(self.archive_dir, f"round={self.round_idx:04d}"),
+            )
+            t_write = time.perf_counter() - t0 - t_build
+            if os.environ.get("SCRAPER_RAY_DEBUG_TIMING"):
+                import sys
+
+                print(f"[archtiming] r={self.round_idx} rows={len(ok_idx)} "
+                      f"build={t_build:.3f} write={t_write:.3f}",
+                      file=sys.stderr, flush=True)
+        bad_idx = np.nonzero(~ok)[0]
+        if len(bad_idx):
+            kinds = ["RobotsDisallowed" if disallowed[i]
+                     else ("NetworkError" if failed[i] else "DecodeError")
+                     for i in bad_idx]
+            append_fragment(
+                pa.table({
+                    "url": pa.array([urls[i] for i in bad_idx], pa.string()),
+                    "host": pa.array([hosts[i] for i in bad_idx], pa.string()),
+                    "round": pa.array([self.round_idx] * len(bad_idx), pa.int32()),
+                    "depth": pa.array([depths[i] for i in bad_idx], pa.int32()),
+                    "error_kind": pa.array(kinds, pa.string()),
+                }),
+                os.path.join(self.errors_dir, f"round={self.round_idx:04d}"),
+            )
+        archive_ms = (time.perf_counter() - t0) * 1000.0
+
+        err_marks = ["" if ok[i] else "x" for i in range(n)]
+        summary = self.router.route_pages(
+            urls, [""] * n, [links[i] if ok[i] else [] for i in range(n)],
+            err_marks, depths, dl_ms,
+        )
+        return summary.set_column(
+            summary.schema.get_field_index("archive_ms"), "archive_ms",
+            pa.array([archive_ms], pa.float64()),
         )

@@ -1,0 +1,150 @@
+"""Multimodal (image/audio/video) batch stages for ``map_batches``.
+
+Media travel as opaque ``binary`` columns with typed metadata (the archive /
+input-table schema: ``bytes, w, h, fmt``). Each stage is a callable class —
+an actor pool member whose setup (codec dispatch tables, resampling kernels)
+happens once in ``__init__`` — operating on zero-copy Arrow batches.
+
+Codec support in this sandbox: ``png``/``bmp``/``lqi`` decode is REAL (in-repo
+codecs, functions/codec.py). Formats needing external libraries (jpeg, webp,
+audio, video frames) are stubbed behind ``NotImplementedError`` with the full
+Ray-side plumbing (schema, batch shapes, actor signature) in place and tested,
+as the environment has no PIL/cv2/ffmpeg.
+
+Batch-size guidance at scale: these rows are wide (KB-MB of pixels); keep
+``batch_size`` small (32-256) and rely on streaming backpressure + object
+store spilling rather than large in-flight batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codec
+
+_REAL_FORMATS = set(codec.FORMATS)
+_STUB_FORMATS = {"jpeg", "jpg", "webp", "gif"}
+
+
+def _decode_any(blob: bytes, fmt: str) -> np.ndarray:
+    if fmt in _REAL_FORMATS:
+        return codec.decode(blob, fmt)
+    if fmt in _STUB_FORMATS:
+        raise NotImplementedError(
+            f"{fmt} decode requires an image library not present in this "
+            "environment; plug a decoder into stages/multimodal._decode_any"
+        )
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+class DecodeImages:
+    """bytes+fmt → decoded stats/pixels. ``emit_pixels=False`` (default)
+    attaches per-image decode stats only — shipping raw pixel tensors through
+    the object store is reserved for consumers that need them."""
+
+    def __init__(self, emit_pixels: bool = False):
+        self.emit_pixels = emit_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ok, mean_lum, decode_err = [], [], []
+        pixels = []
+        for blob, fmt in zip(blobs, fmts):
+            if blob is None:
+                ok.append(False)
+                mean_lum.append(None)
+                decode_err.append("null")
+                pixels.append(None)
+                continue
+            try:
+                px = _decode_any(blob, fmt)
+                ok.append(True)
+                mean_lum.append(float(px.astype(np.float64).mean()))
+                decode_err.append("")
+                pixels.append(px.tobytes() if self.emit_pixels else None)
+            except NotImplementedError as e:
+                ok.append(False)
+                mean_lum.append(None)
+                decode_err.append(f"stub:{fmt}")
+                pixels.append(None)
+        out = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        out = out.append_column("mean_luminance", pa.array(mean_lum, pa.float64()))
+        out = out.append_column("decode_err", pa.array(decode_err, pa.string()))
+        if self.emit_pixels:
+            out = out.append_column("pixels_rgb8", pa.array(pixels, pa.binary()))
+        return out
+
+
+class ResizeImages:
+    """Decode → nearest-neighbour resize → re-encode (same fmt). Real for
+    the in-repo codecs; preserves all metadata columns."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        new_blobs, new_w, new_h = [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            px = _decode_any(blob, fmt)
+            small = resize_nearest(px, self.out_h, self.out_w)
+            new_blobs.append(codec.encode(np.ascontiguousarray(small), fmt))
+            new_h.append(self.out_h)
+            new_w.append(self.out_w)
+        out = batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes",
+            pa.array(new_blobs, pa.binary()),
+        )
+        out = out.set_column(out.schema.get_field_index("w"), "w",
+                             pa.array(new_w, pa.int32()))
+        out = out.set_column(out.schema.get_field_index("h"), "h",
+                             pa.array(new_h, pa.int32()))
+        return out
+
+
+class ImageFeatures:
+    """Per-image features for dedup/quality: phash (64-bit average hash),
+    mean RGB, contrast (stddev of luminance)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ph, means, stds = [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            px = _decode_any(blob, fmt)
+            ph.append(codec.phash(px))
+            lum = px.astype(np.float64).mean(axis=2)
+            means.append(float(px.mean()))
+            stds.append(float(lum.std()))
+        out = batch.append_column("phash_computed", pa.array(ph, pa.int64()))
+        out = out.append_column("mean_rgb", pa.array(means, pa.float64()))
+        out = out.append_column("contrast", pa.array(stds, pa.float64()))
+        return out
+
+
+class SampleVideoFrames:
+    """STUB: frame sampling needs a video decoder (ffmpeg) absent here.
+    The stage contract (binary column in, one row per sampled frame out) is
+    what a real implementation plugs into."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg, not present in this "
+            "environment; the stage contract is: input (video_id:string, "
+            "bytes:binary), output (video_id:string, frame_idx:int32, "
+            "bytes:binary(fmt=png))"
+        )

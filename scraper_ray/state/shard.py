@@ -105,6 +105,18 @@ class StateShard:
             self._spill()
         return {"culled": submitted, "submitted": submitted}
 
+    def check_and_insert_table(self, t: pa.Table) -> dict:
+        """Arrow-table call path (columns url, host, url_hash, priority,
+        depth) — tables serialize near-zero-copy through the object store,
+        unlike python string lists."""
+        return self.check_and_insert(
+            t["url"].to_pylist(),
+            t["host"].to_pylist(),
+            t["url_hash"].to_numpy(zero_copy_only=False),
+            t["priority"].to_numpy(zero_copy_only=False),
+            t["depth"].to_numpy(zero_copy_only=False),
+        )
+
     # -- drain --------------------------------------------------------------
     def drain(self, refill: bool = True, max_rows: int | None = None) -> pa.Table:
         """One politeness-budgeted wave drain, deterministic order.

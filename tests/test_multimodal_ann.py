@@ -1,0 +1,82 @@
+"""Multimodal stages + ANN variants: real decode through Ray Data, stub
+contracts, IVF recall vs the brute-force baseline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from scraper_ray.functions import codec
+from scraper_ray.sources.fixtures import build_images_table
+from scraper_ray.stages.multimodal import (
+    DecodeImages, ImageFeatures, ResizeImages, SampleVideoFrames, _decode_any,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_decode_images_batch():
+    t = build_images_table(9)
+    out = DecodeImages()(t)
+    assert out["decode_ok"].to_pylist() == [True] * 9
+    assert all(0 < v < 255 for v in out["mean_luminance"].to_pylist())
+
+
+def test_decode_stub_formats_marked_not_crashing():
+    t = pa.table({
+        "bytes": pa.array([b"\xff\xd8junk"], pa.binary()),
+        "fmt": ["jpeg"],
+    })
+    out = DecodeImages()(t)
+    assert out["decode_ok"].to_pylist() == [False]
+    assert out["decode_err"].to_pylist() == ["stub:jpeg"]
+    with pytest.raises(NotImplementedError):
+        _decode_any(b"x", "webp")
+
+
+def test_resize_roundtrip():
+    t = build_images_table(6)
+    out = ResizeImages(16, 16)(t)
+    for i in range(6):
+        px = codec.decode(out["bytes"][i].as_py(), out["fmt"][i].as_py())
+        assert px.shape == (16, 16, 3)
+        assert out["caption"][i].as_py() == t["caption"][i].as_py()
+
+
+def test_image_features_phash_matches_lossless():
+    t = build_images_table(9)
+    out = ImageFeatures()(t)
+    for i in range(9):
+        if out["fmt"][i].as_py() != "lqi":
+            assert out["phash_computed"][i].as_py() == out["phash"][i].as_py()
+
+
+def test_video_stub_contract():
+    with pytest.raises(NotImplementedError):
+        SampleVideoFrames()(pa.table({"video_id": ["v"], "bytes": [b"x"]}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_query_runs():
+    from scraper_ray.pipelines.queries import q_multimodal_image_stats
+
+    df = q_multimodal_image_stats(SF_DIR)
+    assert set(df["fmt"]) == {"png", "bmp", "lqi"}
+    assert (df["n_decoded"] == df["n"]).all()
+    # lossless formats reproduce the stored phash exactly
+    lossless = df[df["fmt"].isin(["png", "bmp"])]
+    assert (lossless["n_phash_match"] == lossless["n"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_recall_vs_brute_force():
+    from scraper_ray.pipelines.queries import q_ann_ivf, q_ann_topk
+
+    exact = q_ann_topk(SF_DIR)
+    approx = q_ann_ivf(SF_DIR)
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4/16 lists on random data

@@ -1,0 +1,92 @@
+"""Mini-driver: run every queries() entry at sf=0.001 and compare against its
+oracle_sql() via DuckDB exactly as the external driver does (sorted columns,
+order-insensitive row compare). Rows-only entries are smoke-checked."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _norm(df) -> pd.DataFrame:
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(name):
+    q = entrymod.queries()[name]
+    got = _norm(q(SF_DIR))
+    exp = _norm(_duck(entrymod.oracle_sql()[name]))
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert (g.astype(float) - e.astype(float)).abs().max() <= 1e-9, c
+        else:
+            assert g.astype(str).tolist() == e.astype(str).tolist(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "name", sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+)
+def test_rows_only_queries_run(name):
+    out = entrymod.queries()[name](SF_DIR)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert out is not None
+    assert len(out.columns) > 0
+    # deterministic across runs
+    out2 = entrymod.queries()[name](SF_DIR)
+    if not isinstance(out2, pd.DataFrame):
+        out2 = out2.to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(out2))
+
+
+def test_lang_id_detector_on_real_text():
+    """The testdata ``lang`` labels are random (all rows share the same
+    English-ish vocabulary), so accuracy-vs-label is not meaningful there;
+    the detector itself is pinned on genuinely multilingual sample text."""
+    from scraper_ray.functions.textstats import detect_lang
+
+    assert detect_lang("the cat sat on the mat and it is a fine day for a walk") == "en"
+    assert detect_lang("el perro y el gato están en la casa de los abuelos") == "es"
+    assert detect_lang("le chien et le chat sont dans la maison des grands-parents") == "fr"
+    assert detect_lang("der Hund und die Katze sind in dem Haus von den Kindern") == "de"
+    assert detect_lang("今天天气很好我们一起去公园散步吧这是一个美丽的城市" * 3) == "zh"
+    assert detect_lang("") == "und"
+    assert detect_lang("xyzzy qwerty 12345") == "und"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    out = entrymod.entry()
+    import pandas as pd_
+    import ray.data
+
+    if isinstance(out, ray.data.Dataset):
+        n = out.count()
+        assert out.schema() is not None
+    else:
+        n = len(out)
+    assert n >= 0
