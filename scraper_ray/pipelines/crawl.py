@@ -63,6 +63,9 @@ class CrawlConfig:
     seeds: list = dataclasses.field(default_factory=lambda: seed_urls(8))
     num_parts: int = 8
     seen_mode: str = "exact"  # 'exact' (test parity) | 'approx' (bloom+cuckoo)
+    # 'host': one combined shard call per link; 'url': seen set partitioned by
+    # url_hash (uniform under hot-host skew) + shard-to-shard frontier forward
+    seen_partition: str = "host"
     seen_capacity: int = 1 << 20
     rate: float = 2.0  # politeness: URLs released per host per wave
     burst: float = 4.0
@@ -121,20 +124,33 @@ def _seed_shards(cfg: CrawlConfig, shards, filt: HostFilter):
     hosts = [h for _, h in kept]
     hashes = hash64_batch(urls)
     prios = priority_of(hashes)
-    parts = part_of(hash64_batch(hosts), cfg.num_parts)
+    cand = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "host": pa.array(hosts, pa.string()),
+        "url_hash": pa.array(hashes),
+        "priority": pa.array(prios),
+        "depth": pa.array([0] * len(urls), pa.int32()),
+    })
+    if cfg.seen_partition == "url":
+        parts = part_of(hashes, cfg.num_parts)
+        method = "check_and_route"
+    else:
+        parts = part_of(hash64_batch(hosts), cfg.num_parts)
+        method = "check_and_insert_table"
     futs = []
     for p in np.unique(parts):
         idx = np.nonzero(parts == p)[0]
-        futs.append(
-            shards[int(p)].check_and_insert.remote(
-                [urls[j] for j in idx],
-                [hosts[j] for j in idx],
-                hashes[idx],
-                prios[idx],
-                [0] * len(idx),
-            )
-        )
-    return sum(r["submitted"] for r in ray.get(futs))
+        futs.append(getattr(shards[int(p)], method).remote(cand.take(idx)))
+    total = 0
+    inner = []
+    for r in ray.get(futs):
+        if "futs" in r:
+            inner.extend(r["futs"])
+            total += r["culled"]
+        else:
+            total += r["submitted"]
+    ray.get(inner)
+    return total
 
 
 def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
@@ -165,6 +181,8 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         )
         for p in range(cfg.num_parts)
     ]
+    if cfg.seen_partition == "url":
+        ray.get([s.set_peers.remote(shards) for s in shards])
 
     # persistent fetch/route worker pool, created ONCE for all waves (see
     # stages/fetch.py WaveWorkerPool for the rationale and measurements)
@@ -180,6 +198,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             archive_dir=archive_dir,
             errors_dir=errors_dir,
             verify_decode=cfg.verify_decode,
+            seen_partition=cfg.seen_partition,
         )
         for _ in range(cfg.fetch_concurrency)
     ]
@@ -277,9 +296,16 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             for k in agg:
                 agg[k] += row[k]
         # resolve the non-blocking shard anti-join calls at the round barrier
-        # (all inserts must land before the next drain)
+        # (all inserts must land before the next drain); in url-partition
+        # mode there is a second level: the shard-to-shard frontier forwards
+        inner_futs = []
         for res in ray.get(shard_futs):
             agg["culled_links"] += res["culled"]
+            if "futs" in res:
+                inner_futs.extend(res["futs"])
+            else:
+                agg["submitted_links"] += res["submitted"]
+        for res in ray.get(inner_futs):
             agg["submitted_links"] += res["submitted"]
         pages_total += int(agg["pages"])
         row = {

@@ -541,14 +541,13 @@ def q_minhash_near_dup(sf_dir: str):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
                 b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
 
     cand = (
         banded.groupby(["band", "band_hash"])
@@ -612,7 +611,8 @@ def q_simhash_dups(sf_dir: str):
                 if hamming64(int(hs[i]), int(hs[j])) <= 3:
                     a.append(ids[i])
                     b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
 
     pairs = (
         ds.map_batches(sh, batch_format="pyarrow")

@@ -274,10 +274,14 @@ SUMMARY_SCHEMA = pa.schema(
 
 class LinkRouter:
     def __init__(self, shard_handles: list, filter_cfg: dict, num_parts: int,
-                 blocking: bool = True):
+                 blocking: bool = True, seen_partition: str = "host"):
         self.shards = shard_handles
         self.filter = HostFilter.from_dict(filter_cfg)
         self.num_parts = num_parts
+        # 'host': combined seen+frontier shard per host partition (one hop).
+        # 'url': seen set keyed by url_hash (uniform under hot-host skew),
+        #        frontier forwarded shard-to-shard to its host partition.
+        self.seen_partition = seen_partition
         # blocking=False: return shard futures instead of ray.get-ing them —
         # a worker blocked in ray.get spin-waits and burns a core while its
         # pool-mates compute; the driver resolves the futures at the round
@@ -332,8 +336,10 @@ class LinkRouter:
         if cand_urls:
             hashes = hash64_batch(cand_urls)
             prios = priority_of(hashes)
-            host_hashes = hash64_batch(cand_hosts)
-            parts = part_of(host_hashes, self.num_parts)
+            if self.seen_partition == "url":
+                parts = part_of(hashes, self.num_parts)
+            else:
+                parts = part_of(hash64_batch(cand_hosts), self.num_parts)
             cand = pa.table({
                 "url": pa.array(cand_urls, pa.string()),
                 "host": pa.array(cand_hosts, pa.string()),
@@ -341,18 +347,24 @@ class LinkRouter:
                 "priority": pa.array(prios),
                 "depth": pa.array(cand_depths, pa.int32()),
             })
+            method = ("check_and_route" if self.seen_partition == "url"
+                      else "check_and_insert_table")
             futs = []
             for p in np.unique(parts):
                 idx = np.nonzero(parts == p)[0]
                 futs.append(
-                    self.shards[int(p)].check_and_insert_table.remote(
-                        cand.take(idx)
-                    )
+                    getattr(self.shards[int(p)], method).remote(cand.take(idx))
                 )
             if self.blocking:
+                inner = []
                 for res in ray.get(futs):
                     culled += res["culled"]
-                    submitted += res["submitted"]
+                    if "futs" in res:
+                        inner.extend(res["futs"])
+                    else:
+                        submitted += res["submitted"]
+                for r2 in ray.get(inner):
+                    submitted += r2["submitted"]
             else:
                 self.pending_futs.extend(futs)
         t_cull = time.perf_counter() - t0
@@ -401,9 +413,10 @@ class WaveWorker(Fetcher):
     def __init__(self, images_ref, web_cfg: dict, round_idx: int,
                  fail_mod: int, shard_handles: list, filter_cfg: dict,
                  num_parts: int, archive_dir: str, errors_dir: str,
-                 verify_decode: bool = False):
+                 verify_decode: bool = False, seen_partition: str = "host"):
         super().__init__(images_ref, web_cfg, round_idx, fail_mod, verify_decode)
-        self.router = LinkRouter(shard_handles, filter_cfg, num_parts)
+        self.router = LinkRouter(shard_handles, filter_cfg, num_parts,
+                                 seen_partition=seen_partition)
         self.archive_dir = archive_dir
         self.errors_dir = errors_dir
 

@@ -105,6 +105,64 @@ class StateShard:
             self._spill()
         return {"culled": submitted, "submitted": submitted}
 
+    def set_peers(self, handles: list) -> None:
+        """Peer shard handles for the url-partitioned (skew-aware) mode."""
+        self._peers = handles
+
+    def frontier_insert(self, t: pa.Table) -> dict:
+        """Insert already-deduplicated, already-seen-checked frontier rows
+        (columns url, host, priority, depth) — the frontier half of the
+        url-partitioned path. Politeness/drain stays host-affine here."""
+        import heapq as _hq
+
+        urls = t["url"].to_pylist()
+        hosts = t["host"].to_pylist()
+        prios = t["priority"].to_pylist()
+        depths = t["depth"].to_pylist()
+        for u, h, p, d in zip(urls, hosts, prios, depths):
+            _hq.heappush(self.pending.setdefault(h, []), (-float(p), u, int(d)))
+        self.pending_count += len(urls)
+        self.inserted_total += len(urls)
+        if self.pending_count > self.spill_threshold and self.spill_dir:
+            self._spill()
+        return {"submitted": len(urls)}
+
+    def check_and_route(self, t: pa.Table) -> dict:
+        """Skew-aware two-level path: this shard owns the ``url_hash % P``
+        partition of the SEEN SET (uniform even under hot-host skew — a host
+        producing 30% of links no longer concentrates its membership checks
+        on one actor); new rows are forwarded to their host-partition peer's
+        frontier (single extra actor-to-actor hop, still atomic per URL).
+        Returns culled count + the forward-call futures (the driver awaits
+        them at the round barrier)."""
+        import numpy as np
+
+        from ..functions.hashing import hash64_batch, part_of
+
+        urls = t["url"].to_pylist()
+        hashes = t["url_hash"].to_numpy(zero_copy_only=False)
+        # dedup within call (keep-first)
+        first: dict[str, int] = {}
+        order: list[int] = []
+        for i, u in enumerate(urls):
+            if u not in first:
+                first[u] = i
+                order.append(i)
+        uniq = [urls[i] for i in order]
+        new_mask = self.seen.check_and_insert(
+            uniq, np.asarray(hashes, dtype="uint64")[order]
+        )
+        new_idx = [order[int(j)] for j in np.nonzero(new_mask)[0]]
+        futs = []
+        if new_idx:
+            sub = t.take(new_idx).select(["url", "host", "priority", "depth"])
+            hosts = sub["host"].to_pylist()
+            parts = part_of(hash64_batch(hosts), self.num_parts)
+            for p in np.unique(parts):
+                idx = np.nonzero(parts == p)[0]
+                futs.append(self._peers[int(p)].frontier_insert.remote(sub.take(idx)))
+        return {"culled": len(new_idx), "futs": futs}
+
     def check_and_insert_table(self, t: pa.Table) -> dict:
         """Arrow-table call path (columns url, host, url_hash, priority,
         depth) — tables serialize near-zero-copy through the object store,

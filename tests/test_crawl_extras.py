@@ -1,0 +1,126 @@
+"""Additional crawl-engine guarantees: approx-seen parity, politeness rate
+bounds, errors-table routing, metrics sidecar, property-fuzzed canonicalizer."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scraper_ray.functions.errors import ERR, OK, REJECT, outcome_of
+from scraper_ray.functions.urlnorm import canonicalize
+from scraper_ray.pipelines.crawl import CrawlConfig, read_archive, read_order, run_crawl
+from scraper_ray.pipelines.oracle import oracle_crawl
+from scraper_ray.sources.fixtures import build_images_table
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(out_dir=str(tmp_path / "c"), num_parts=4, max_rounds=4,
+                rate=2.0, burst=3.0, n_hosts=10, max_degree=6, n_images=16,
+                html=False, fetch_concurrency=2, batch_size=64)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_seen_matches_exact(tmp_path):
+    """The bloom+cuckoo scale path must produce the same crawl as exact mode
+    (no false negatives by construction; false positives are the product of
+    both structures' rates — unobservable at this scale)."""
+    images = build_images_table(16)
+    a = _cfg(tmp_path / "exact", seen_mode="exact")
+    b = _cfg(tmp_path / "approx", seen_mode="approx", seen_capacity=1 << 16)
+    ra = run_crawl(a, images)
+    rb = run_crawl(b, images)
+    oa, ob = read_order(a.out_dir), read_order(b.out_dir)
+    key = lambda t: sorted(zip(t["round"].to_pylist(), t["rank"].to_pylist(),
+                               t["url"].to_pylist()))
+    assert key(oa) == key(ob)
+    assert ra["pages_total"] == rb["pages_total"]
+    for ma, mb in zip(ra["metrics"], rb["metrics"]):
+        assert ma["submitted_links"] == mb["submitted_links"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_politeness_rate_bound(tmp_path):
+    """No host may be fetched more than burst times in one wave, nor more
+    than k*rate + burst times over k waves (token-bucket invariant)."""
+    cfg = _cfg(tmp_path, rate=2.0, burst=3.0, max_rounds=5)
+    run_crawl(cfg, build_images_table(16))
+    order = read_order(cfg.out_dir)
+    per_round_host: dict = {}
+    total_host: dict = {}
+    for url, rnd in zip(order["url"].to_pylist(), order["round"].to_pylist()):
+        host = url.split("/")[2]
+        per_round_host[(rnd, host)] = per_round_host.get((rnd, host), 0) + 1
+        total_host[host] = total_host.get(host, 0) + 1
+    rounds = max(order["round"].to_pylist()) + 1
+    for (rnd, host), n in per_round_host.items():
+        assert n <= int(cfg.burst), (rnd, host, n)
+    for host, n in total_host.items():
+        assert n <= rounds * cfg.rate + cfg.burst, (host, n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_errors_table_routing(tmp_path):
+    """Robots-disallowed and injected network failures land in the errors
+    table with the right error_kind; archive excludes them; funnel counts
+    them as errors."""
+    cfg = _cfg(tmp_path, fail_mod=7, max_rounds=4, robots_mod=2)
+    res = run_crawl(cfg, build_images_table(16))
+    assert res["errors_total"] > 0
+    errors_dir = os.path.join(cfg.out_dir, "errors")
+    rows = []
+    for name in sorted(os.listdir(errors_dir)):
+        d = os.path.join(errors_dir, name)
+        for f in os.listdir(d):
+            t = pq.read_table(os.path.join(d, f))
+            rows.extend(zip(t["url"].to_pylist(), t["error_kind"].to_pylist()))
+    assert len(rows) == res["errors_total"]
+    kinds = {k for _, k in rows}
+    assert kinds <= {"RobotsDisallowed", "NetworkError", "DecodeError"}
+    assert "NetworkError" in kinds
+    arch_urls = set(read_archive(cfg.out_dir)["url"].to_pylist())
+    assert arch_urls.isdisjoint({u for u, _ in rows})
+    # oracle agrees on error counts per round
+    oracle = oracle_crawl(cfg, build_images_table(16))
+    for got, exp in zip(res["metrics"], oracle["metrics"]):
+        assert got["errors"] == exp["errors"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_metrics_sidecar_written(tmp_path):
+    cfg = _cfg(tmp_path, max_rounds=3)
+    res = run_crawl(cfg, build_images_table(16))
+    t = pq.read_table(os.path.join(cfg.out_dir, "metrics.parquet"))
+    assert t.num_rows == len(res["metrics"])
+    for field in ("round", "wave_rows", "receive_ms", "download_ms",
+                  "extract_ms", "normalise_ms", "filter_ms", "culling_ms",
+                  "archive_ms", "extracted_links", "submitted_links"):
+        assert field in t.column_names, field
+
+
+def test_error_outcome_mapping():
+    assert outcome_of("") == OK
+    assert outcome_of("NetworkError") == REJECT
+    assert outcome_of("InvalidPage") == ERR
+    assert outcome_of("RobotsDisallowed") == ERR
+    assert outcome_of("SomethingNew") == ERR
+
+
+# property-fuzzed canonicalizer: idempotent, never crashes, output parses
+_URL_CHARS = st.text(
+    alphabet="abcxyzABC019%/?#&=.:@!$'()*+,;~_- é中", max_size=40
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(scheme=st.sampled_from(["http", "HTTP", "https", "ftp", "urn", ""]),
+       host=st.text(alphabet="abcXY01.-ü�", max_size=12),
+       rest=_URL_CHARS)
+def test_canonicalize_fuzz_idempotent(scheme, host, rest):
+    url = f"{scheme}://{host}/{rest}" if scheme else f"{host}/{rest}"
+    c = canonicalize(url)
+    if c is not None:
+        assert canonicalize(c) == c, (url, c)

@@ -92,6 +92,17 @@ def test_engine_matches_oracle_direct_mode_with_filter_and_failures(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_url_partitioned_seen(tmp_path):
+    """The skew-aware mode (seen set keyed by url_hash, frontier forwarded
+    shard-to-shard to its host partition) must preserve exact parity."""
+    cfg = _cfg(tmp_path, html=False, seen_partition="url", max_rounds=5)
+    images = build_images_table(cfg.n_images)
+    res = run_crawl(cfg, images)
+    assert res["pages_total"] > 20
+    _assert_parity(res, cfg, images)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_archive_per_row_invariants(tmp_path):
     """decoded-pixel allclose (exact for lossless, PSNR≥40dB for lossy) +
     caption equality vs regenerated ground truth (BASELINE.json input_hint)."""
