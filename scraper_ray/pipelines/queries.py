@@ -627,6 +627,122 @@ def q_simhash_dups(sf_dir: str):
         ["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard_dedup(sf_dir: str):
+    """Character-5-gram Jaccard near-dup pairs (threshold 0.4): MinHash-LSH
+    over char n-grams for candidate generation, exact n-gram Jaccard verify.
+    The third dedup family next to word-shingle MinHash and SimHash."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ..functions.sketches import MinHasher
+    from ..functions.textstats import char_ngrams, jaccard
+
+    mh = MinHasher(num_perm=64, bands=32)  # 2 rows/band → recall at low sim
+
+    def sigs(t: pa.Table) -> pa.Table:
+        doc_ids, bands, bhs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            bh = mh.band_hashes(mh.signature(char_ngrams(text, 5)))
+            doc_ids.extend([did] * mh.nbands)
+            bands.extend(range(mh.nbands))
+            bhs.extend(bh.tolist())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(bhs, pa.uint64()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    cand = cand.drop_duplicates().astype("int64")
+    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", need)])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    keep_a, keep_b = [], []
+    for ia, ib in zip(cand["id_a"], cand["id_b"]):
+        if jaccard(char_ngrams(texts[ia], 5), char_ngrams(texts[ib], 5)) >= 0.4:
+            keep_a.append(int(ia))
+            keep_b.append(int(ib))
+    return pd.DataFrame({"id_a": pd.Series(keep_a, dtype="int64"),
+                         "id_b": pd.Series(keep_b, dtype="int64")})
+
+
+def q_asof_last_click(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): for each purchase
+    event, the user's most recent click at-or-before it — per-user sorted
+    ``merge_asof`` inside ``map_groups`` (partition by key, order by time)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        c = g[g["event_type"] == "click"].sort_values("ts")
+        if len(p) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                                 "last_click_ts": pd.Series([], dtype="datetime64[us]")})
+        m = pd.merge_asof(p[["ts"]], c[["ts"]].rename(columns={"ts": "click_ts"}),
+                          left_on="ts", right_on="click_ts", direction="backward")
+        return pd.DataFrame({
+            "user_id": pd.Series([g["user_id"].iloc[0]] * len(m), dtype="int64"),
+            "purchase_ts": m["ts"].values,
+            "last_click_ts": m["click_ts"].values,
+        })
+
+    df = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return df
+
+
+Q_ASOF_SQL = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.ts AS purchase_ts, max(c.click_ts) AS last_click_ts
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.click_ts <= p.ts
+GROUP BY p.user_id, p.ts
+"""
+
+
+def q_union_distinct(sf_dir: str):
+    """Set ops: distinct users seen in clicks UNION purchases (Dataset.union
+    + unique) with per-branch column pruning and pushed-down filters."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    def branch(ev_type):
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ).map_batches(
+            lambda t, et=ev_type: t.filter(_pc.equal(t["event_type"], et))
+                                   .select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    u = branch("click").union(branch("purchase")).unique("user_id")
+    return pd.DataFrame({"user_id": pd.Series(sorted(u), dtype="int64")})
+
+
+Q_UNION_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type IN ('click', 'purchase')
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language-ID counts vs the labelled ``lang`` column —
     (lang, lang_pred, n) confusion counts."""
@@ -652,21 +768,26 @@ def q_lang_id(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    """Per-doc quality features + score (deterministic floats rounded)."""
-    from ..functions.textstats import quality_features, quality_score
+    """Per-doc quality features + score (deterministic floats rounded),
+    with both whitespace and BPE-ish sub-word token counts."""
+    from ..functions.textstats import (
+        count_tokens_bpe, quality_features, quality_score,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def feat(t: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "n_tokens": [], "quality": []}
+        rows = {"doc_id": [], "n_tokens": [], "n_tokens_bpe": [], "quality": []}
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             f = quality_features(text)
             rows["doc_id"].append(did)
             rows["n_tokens"].append(f["n_tokens"])
+            rows["n_tokens_bpe"].append(count_tokens_bpe(text))
             rows["quality"].append(round(quality_score(f), 6))
         return pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
             "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "n_tokens_bpe": pa.array(rows["n_tokens_bpe"], pa.int64()),
             "quality": pa.array(rows["quality"], pa.float64()),
         })
 
@@ -827,6 +948,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_dups": q_simhash_dups,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "asof_last_click": q_asof_last_click,
+    "union_distinct": q_union_distinct,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
@@ -846,6 +970,8 @@ ORACLE_SQL = {
     "token_stats": Q_TOKEN_STATS_SQL,
     "ann_topk": Q_ANN_SQL,
     "embedding_near_dup": Q_EMB_NEAR_DUP_SQL,
+    "asof_last_click": Q_ASOF_SQL,
+    "union_distinct": Q_UNION_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
