@@ -107,6 +107,12 @@ def run_crawl_bench(num_cpus: int) -> dict:
 def run_queries(sf_dir: str) -> dict:
     from scraper_ray.pipelines.queries import QUERIES
 
+    # untimed warm-up: first Ray Data execution pays one-off module/executor
+    # init and cold page cache (BASELINE.md protocol: warm-up excluded)
+    import ray.data as rd
+
+    rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey"]).count()
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
