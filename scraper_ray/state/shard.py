@@ -68,6 +68,9 @@ class StateShard:
         self.spill_dir = spill_dir
         self._spill_files: list[str] = []
         self._spilled_rows = 0
+        self._spilled_by_host: dict[str, int] = {}
+        self.spill_events = 0
+        self.spilled_rows_total = 0
         self.inserted_total = 0
         self.drained_total = 0
 
@@ -197,6 +200,14 @@ class StateShard:
                     self.burst, self.tokens.get(host, 0.0) + self.rate
                 )
             avail = int(self.tokens.get(host, 0.0))
+            if (len(heap) < min(avail, budget_left)
+                    and self._spilled_by_host.get(host)):
+                # spill transparency: only the lower-priority half of a host's
+                # heap is ever spilled, so order can only diverge if the
+                # in-memory half runs dry while spilled rows remain — fold
+                # the spill back in before draining this host
+                self._unspill()
+                heap = self.pending[host]
             take = min(avail, len(heap), budget_left)
             for _ in range(take):
                 negp, url, depth = heapq.heappop(heap)
@@ -227,6 +238,8 @@ class StateShard:
             "part": self.part,
             "pending": self.pending_count,
             "spill_files": len(self._spill_files),
+            "spill_events": self.spill_events,
+            "spilled_rows_total": self.spilled_rows_total,
             "seen": len(self.seen),
             "seen_bytes": self.seen.nbytes(),
             "inserted_total": self.inserted_total,
@@ -269,6 +282,9 @@ class StateShard:
                 hosts.append(host)
                 prios.append(-negp)
                 depths.append(depth)
+            self._spilled_by_host[host] = (
+                self._spilled_by_host.get(host, 0) + len(cold)
+            )
         if not urls:
             return
         t = pa.table(
@@ -287,10 +303,13 @@ class StateShard:
         self._spill_files.append(path)
         self.pending_count -= len(urls)
         self._spilled_rows += len(urls)
+        self.spill_events += 1
+        self.spilled_rows_total += len(urls)
 
     def _unspill(self) -> None:
         files, self._spill_files = self._spill_files, []
         self._spilled_rows = 0
+        self._spilled_by_host = {}
         for path in files:
             t = pq.read_table(path)
             os.remove(path)

@@ -43,6 +43,22 @@ def test_approx_seen_matches_exact(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_spill_is_order_transparent(tmp_path):
+    """A tiny spill threshold must not change the crawl vs the no-spill run
+    (spilled low-priority rows fold back in before a host's heap runs dry)."""
+    images = build_images_table(16)
+    a = _cfg(tmp_path / "nospill", max_rounds=5, max_degree=8)
+    b = _cfg(tmp_path / "spill", max_rounds=5, max_degree=8, spill_threshold=10)
+    ra = run_crawl(a, images)
+    rb = run_crawl(b, images)
+    assert any(s["spill_events"] > 0 for s in rb["shard_stats"]), "spill never triggered"
+    key = lambda t: sorted(zip(t["round"].to_pylist(), t["rank"].to_pylist(),
+                               t["url"].to_pylist()))
+    assert key(read_order(a.out_dir)) == key(read_order(b.out_dir))
+    assert ra["pages_total"] == rb["pages_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_politeness_rate_bound(tmp_path):
     """No host may be fetched more than burst times in one wave, nor more
     than k*rate + burst times over k waves (token-bucket invariant)."""
