@@ -51,7 +51,6 @@ def entry() -> Any:
         rate=2.0,
         burst=3.0,
         fetch_concurrency=2,
-        router_concurrency=2,
     )
     run_crawl(cfg, images)
     archive = rd.read_parquet(os.path.join(out_dir, "archive"))

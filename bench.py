@@ -7,8 +7,9 @@ fetched-URLs/sec + frontier-inserts/sec), run in direct (non-HTML) mode with
 the approx (bloom+cuckoo) seen set over a generated images table, plus a set
 of representative dataset queries over $GRAFT_SF_DIR.
 
-``--scaling`` runs the headline crawl twice in fresh processes
-(num_cpus=8 then 32 — the sandbox stand-in for N vs 4N nodes), reports both
+``--scaling`` runs the headline crawl at two parallelism levels in fresh
+taskset-pinned processes (4 vs 16 cores — the sandbox stand-in for N vs 4N
+nodes; see scaling() for why not 8/32 on this noisy host), reports both
 throughputs and the scaling efficiency, and records the result in BASELINE.md.
 
 This script OWNS its Ray session (the driver contract's entry()/queries() do
@@ -47,7 +48,7 @@ CRAWL_KW = dict(
     hot_host_pct=30,
     html=False,
     n_images=256,
-    batch_size=1024,
+    batch_size=4096,
     verify_decode=True,  # per-page decode+PSNR — the north-star fetch/decode stage
 )
 
@@ -82,7 +83,6 @@ def run_crawl_bench(num_cpus: int) -> dict:
         # 0.75×cpus fetch workers: the worker-count ratio between the two
         # levels stays 4× and shards/driver/raylet keep dedicated cores
         fetch_concurrency=max(2, (num_cpus * 3) // 4),
-        router_concurrency=max(2, num_cpus // 4),
         checkpoint_every=0,  # no per-round checkpoint in the timed loop
         **CRAWL_KW,
     )

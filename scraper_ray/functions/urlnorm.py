@@ -104,6 +104,10 @@ def canonicalize(url: str) -> str | None:
     path = _upper_triplets(path)
     if not path and scheme in _SPECIAL_SCHEMES:
         path = "/"
+    if not netloc and path.startswith("//"):
+        # a host-less path must not begin with '//' — it would re-parse as an
+        # authority component, breaking idempotence (e.g. 'urn:////')
+        path = "/" + path.lstrip("/")
 
     out = f"{scheme}://{netloc}{path}" if (netloc or scheme in _SPECIAL_SCHEMES) else f"{scheme}:{path}"
 

@@ -85,7 +85,6 @@ class CrawlConfig:
     filter_entries: list = dataclasses.field(default_factory=list)
     # execution
     fetch_concurrency: int = 4
-    router_concurrency: int = 2
     batch_size: int = 256
     checkpoint_every: int = 1
     fail_mod: int = 0
@@ -210,7 +209,10 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-        ray.get([s.restore.remote(ckpt_dir) for s in shards])
+        # the manifest names the last FULLY-written checkpoint epoch; a crash
+        # mid-checkpoint leaves a partial epoch dir that is simply ignored
+        epoch_dir = os.path.join(ckpt_dir, manifest["ckpt_epoch"])
+        ray.get([s.restore.remote(epoch_dir) for s in shards])
         start_round = manifest["next_round"]
         metrics_rows = manifest["metrics"]
         pages_total = manifest["pages_total"]
@@ -224,6 +226,11 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
                     p = os.path.join(base, name)
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     else:
+        # fresh run on a previously-used out_dir: clear stale outputs so
+        # read_archive/read_order can never mix rows from an earlier run
+        for base in (archive_dir, errors_dir, order_dir, ckpt_dir):
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
         _seed_shards(cfg, shards, filt)
 
     t_start = time.perf_counter()
@@ -273,9 +280,10 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             if os.path.exists(rdir):
                 shutil.rmtree(rdir)
         # adaptive chunking: ~2 chunks per pool worker (tail overlap without
-        # a per-batch shard-call storm), within [512, 4096] rows
-        bs = max(512, min(max(cfg.batch_size, 4096),
-                          -(-wave.num_rows // (2 * cfg.fetch_concurrency))))
+        # a per-batch shard-call storm); cfg.batch_size caps chunk rows
+        bs = max(min(512, cfg.batch_size),
+                 min(cfg.batch_size,
+                     -(-wave.num_rows // (2 * cfg.fetch_concurrency))))
         nchunks = max(1, -(-wave.num_rows // bs))
         step = (wave.num_rows + nchunks - 1) // nchunks
         chunks = [wave.slice(i * step, step) for i in range(nchunks)
@@ -317,15 +325,18 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         }
         metrics_rows.append(row)
 
-        # 5. checkpoint + lineage manifest
+        # 5. checkpoint + lineage manifest (epoch-atomic: shards write into a
+        # fresh epoch dir FIRST, the manifest switches to it SECOND, older
+        # epochs are pruned LAST — a crash at any point leaves a manifest
+        # naming a complete epoch)
         if cfg.checkpoint_every and (r + 1) % cfg.checkpoint_every == 0:
-            ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
-            _write_manifest(manifest_path, r + 1, metrics_rows, pages_total, cfg)
+            _checkpoint_epoch(shards, ckpt_dir, manifest_path, r + 1,
+                              metrics_rows, pages_total, cfg)
         r += 1
 
     elapsed = time.perf_counter() - t_start
-    ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
-    _write_manifest(manifest_path, r, metrics_rows, pages_total, cfg)
+    _checkpoint_epoch(shards, ckpt_dir, manifest_path, r, metrics_rows,
+                      pages_total, cfg)
     if metrics_rows:
         pq.write_table(
             pa.Table.from_pylist(metrics_rows), os.path.join(out, "metrics.parquet")
@@ -351,13 +362,30 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
     return result
 
 
+def _checkpoint_epoch(shards, ckpt_dir: str, manifest_path: str,
+                      next_round: int, metrics: list[dict], pages_total: int,
+                      cfg: CrawlConfig) -> None:
+    import ray
+
+    epoch = f"epoch={next_round:04d}"
+    epoch_dir = os.path.join(ckpt_dir, epoch)
+    ray.get([s.checkpoint.remote(epoch_dir) for s in shards])
+    _write_manifest(manifest_path, next_round, metrics, pages_total, cfg,
+                    ckpt_epoch=epoch)
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("epoch=") and name != epoch:
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+
 def _write_manifest(path: str, next_round: int, metrics: list[dict],
-                    pages_total: int, cfg: CrawlConfig) -> None:
+                    pages_total: int, cfg: CrawlConfig,
+                    ckpt_epoch: str = "") -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {
                 "next_round": next_round,
+                "ckpt_epoch": ckpt_epoch,
                 "pages_total": pages_total,
                 "metrics": metrics,
                 "config": {k: v for k, v in dataclasses.asdict(cfg).items()},

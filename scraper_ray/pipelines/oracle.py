@@ -107,7 +107,9 @@ def oracle_crawl(cfg, images_table) -> dict:
                 raw = web.out_links(url)
             canon, chosts = canonicalize_batch(raw)  # per-page keep-first
             kept = [(u, h) for u, h in zip(canon, chosts) if filt.keep(h)]
-            n_new = submit([u for u, _ in kept], [h for _, h in kept], depth + 1)
+            # depth = round discovered (matches the engine's deterministic
+            # definition under concurrent discovery)
+            n_new = submit([u for u, _ in kept], [h for _, h in kept], r + 1)
             funnel["extracted_links"] += len(raw)
             funnel["normalised_links"] += len(canon)
             funnel["filtered_links"] += len(kept)

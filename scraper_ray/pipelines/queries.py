@@ -425,7 +425,11 @@ def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 continue
-            order = idx[np.argsort(-s[idx], kind="stable")][:k]
+            # rank by ROUNDED similarity with vec_id tiebreak, matching the
+            # SQL oracle's ORDER BY round(sim,6) DESC, vid — ranking on raw
+            # floats flips boundary ties the other way
+            r6 = np.round(s[idx], 6)
+            order = idx[np.lexsort((vids[idx], -r6))][:k]
             rows["query_id"].extend([qid] * len(order))
             rows["neighbor_id"].extend(vids[order].tolist())
             rows["sim"].extend(np.round(s[order], 6).tolist())
@@ -692,7 +696,10 @@ def q_asof_last_click(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        # drop duplicate purchase timestamps: the SQL oracle GROUPs BY
+        # (user_id, ts), collapsing them to one row
+        p = (g[g["event_type"] == "purchase"].sort_values("ts")
+             .drop_duplicates("ts"))
         c = g[g["event_type"] == "click"].sort_values("ts")
         if len(p) == 0:
             return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),

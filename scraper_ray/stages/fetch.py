@@ -290,16 +290,17 @@ class LinkRouter:
         self.pending_futs: list = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rnd = batch["round"][0].as_py() if batch.num_rows else 0
         return self.route_pages(
             batch["url"].to_pylist(),
             batch["body"].to_pylist(),
             batch["links"].to_pylist(),
             batch["error_kind"].to_pylist(),
-            batch["depth"].to_pylist(),
+            rnd + 1,
             float(pa.compute.sum(batch["download_ms"]).as_py() or 0.0),
         )
 
-    def route_pages(self, urls, bodies, link_lists, errors, depths,
+    def route_pages(self, urls, bodies, link_lists, errors, child_depth: int,
                     dl_sum: float) -> pa.Table:
         import ray
 
@@ -307,7 +308,6 @@ class LinkRouter:
         t_extract = t_norm = t_filter = 0.0
         cand_urls: list[str] = []
         cand_hosts: list[str] = []
-        cand_depths: list[int] = []
         for i in range(len(urls)):
             if errors[i]:
                 nerrors += 1
@@ -322,7 +322,6 @@ class LinkRouter:
                 if keep.keep(h):
                     cand_urls.append(u)
                     cand_hosts.append(h)
-                    cand_depths.append(depths[i] + 1)
             t3 = time.perf_counter()
             extracted += len(raw)
             normalised += len(canon)
@@ -345,7 +344,10 @@ class LinkRouter:
                 "host": pa.array(cand_hosts, pa.string()),
                 "url_hash": pa.array(hashes),
                 "priority": pa.array(prios),
-                "depth": pa.array(cand_depths, pa.int32()),
+                # depth = round discovered (deterministic under concurrent
+                # discovery, unlike parent-depth+1 which depends on which
+                # chunk's shard call lands first)
+                "depth": pa.array([child_depth] * len(cand_urls), pa.int32()),
             })
             method = ("check_and_route" if self.seen_partition == "url"
                       else "check_and_insert_table")
@@ -571,7 +573,7 @@ class WaveWorkerPool(WaveWorker):
         err_marks = ["" if ok[i] else "x" for i in range(n)]
         summary = self.router.route_pages(
             urls, [""] * n, [links[i] if ok[i] else [] for i in range(n)],
-            err_marks, depths, dl_ms,
+            err_marks, self.round_idx + 1, dl_ms,
         )
         return summary.set_column(
             summary.schema.get_field_index("archive_ms"), "archive_ms",

@@ -34,6 +34,9 @@ class WallClockTokenBucket:
 
     def try_acquire(self, host: str, n: float = 1.0) -> bool:
         """Non-blocking: take ``n`` tokens for ``host`` if available."""
+        if n > self.burst:
+            raise ValueError(f"n={n} exceeds burst={self.burst}; "
+                             "it could never be satisfied")
         now = self._clock()
         self._refill(host, now)
         if self._tokens[host] >= n:

@@ -68,7 +68,6 @@ class StateShard:
         self.spill_dir = spill_dir
         self._spill_files: list[str] = []
         self._spilled_rows = 0
-        self._spilled_by_host: dict[str, int] = {}
         self.spill_events = 0
         self.spilled_rows_total = 0
         self.inserted_total = 0
@@ -187,7 +186,15 @@ class StateShard:
         priority first (ties by url). Returned table is sorted by
         ``(-priority, host, url)`` — the engine's canonical wave order.
         """
-        if self.pending_count == 0 and self._spill_files:
+        if self._spill_files:
+            # fold spill back in before ANY drain: spilled rows may outrank
+            # both a host whose in-memory heap runs dry and rows inserted
+            # after the spill, so draining around them breaks deterministic
+            # order (and can starve spilled URLs forever when their host
+            # drops out of `pending`). Spill therefore bounds memory during
+            # the insert storm of a wave; a persistent cold frontier tier
+            # that survives drains is future work (needs per-host priority
+            # fences).
             self._unspill()
         rows: list[tuple[float, str, str, int]] = []
         budget_left = max_rows if max_rows is not None else 1 << 62
@@ -200,14 +207,6 @@ class StateShard:
                     self.burst, self.tokens.get(host, 0.0) + self.rate
                 )
             avail = int(self.tokens.get(host, 0.0))
-            if (len(heap) < min(avail, budget_left)
-                    and self._spilled_by_host.get(host)):
-                # spill transparency: only the lower-priority half of a host's
-                # heap is ever spilled, so order can only diverge if the
-                # in-memory half runs dry while spilled rows remain — fold
-                # the spill back in before draining this host
-                self._unspill()
-                heap = self.pending[host]
             take = min(avail, len(heap), budget_left)
             for _ in range(take):
                 negp, url, depth = heapq.heappop(heap)
@@ -282,9 +281,6 @@ class StateShard:
                 hosts.append(host)
                 prios.append(-negp)
                 depths.append(depth)
-            self._spilled_by_host[host] = (
-                self._spilled_by_host.get(host, 0) + len(cold)
-            )
         if not urls:
             return
         t = pa.table(
@@ -309,7 +305,6 @@ class StateShard:
     def _unspill(self) -> None:
         files, self._spill_files = self._spill_files, []
         self._spilled_rows = 0
-        self._spilled_by_host = {}
         for path in files:
             t = pq.read_table(path)
             os.remove(path)

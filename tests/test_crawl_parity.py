@@ -28,7 +28,6 @@ def _cfg(tmp_path, **kw):
         n_images=24,
         html=True,
         fetch_concurrency=2,
-        router_concurrency=2,
         batch_size=64,
     )
     base.update(kw)
