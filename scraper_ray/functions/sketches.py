@@ -10,22 +10,20 @@ import numpy as np
 
 from .hashing import hash64_batch
 
-_M61 = (1 << 61) - 1
-
-
-def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
-    return a, b
-
 
 class MinHasher:
-    """num_perm universal-hash permutations over shingle hashes.
+    """num_perm independent hash views over shingle hashes.
+
+    Each "permutation" i is ``mix64(h ^ seed_i)`` with a strong 64-bit
+    finalizer (splitmix64) and an independent random seed — the standard
+    industrial MinHash construction (xor-seed + avalanche mix), whose min
+    over a set approximates a random permutation's min. (An earlier version
+    claimed a universal hash mod 2^61-1 but wrapped the multiply mod 2^64,
+    which is neither — xor+mix is both honest and faster.)
 
     signature(doc) is a uint64[num_perm]; Jaccard(a, b) ≈ mean(sig_a == sig_b).
-    ``bands(sig)`` gives (band_id, band_hash) pairs for LSH bucketing: docs
-    sharing any band bucket are candidate near-duplicates.
+    ``band_hashes(sig)`` gives per-band hashes for LSH bucketing: docs sharing
+    any band bucket are candidate near-duplicates.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42):
@@ -33,16 +31,19 @@ class MinHasher:
         self.num_perm = num_perm
         self.nbands = bands
         self.rows_per_band = num_perm // bands
-        self.a, self.b = _perm_params(num_perm, seed)
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
 
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = hash64_batch(sorted(shingles)) % np.uint64(_M61)
+        h = hash64_batch(sorted(shingles))
         with np.errstate(over="ignore"):
-            # (a*h + b) mod M61 via python-int-free numpy: split multiply
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_M61)
-        return vals.min(axis=1)
+            v = h[None, :] ^ self.seeds[:, None]  # (num_perm, n_shingles)
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            v = v ^ (v >> np.uint64(31))
+        return v.min(axis=1)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
         """uint64[bands] — hash of each band's rows (for LSH group keys)."""

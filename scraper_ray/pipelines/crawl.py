@@ -209,6 +209,22 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
+        # crawl-semantic config must match the checkpoint exactly — resuming
+        # with e.g. a different seen_capacity would silently corrupt the
+        # restored cuckoo geometry / partitioning / politeness semantics.
+        # Execution knobs (rounds, budgets, concurrency, batch size) may vary.
+        _MUTABLE = {"max_rounds", "max_pages", "max_wave_per_part",
+                    "fetch_concurrency", "batch_size", "checkpoint_every",
+                    "spill_threshold", "out_dir"}
+        old_cfg = manifest.get("config", {})
+        for k, v in dataclasses.asdict(cfg).items():
+            if k in _MUTABLE or k not in old_cfg:
+                continue
+            if old_cfg[k] != v:
+                raise ValueError(
+                    f"resume config mismatch on {k!r}: checkpoint has "
+                    f"{old_cfg[k]!r}, current config has {v!r}"
+                )
         # the manifest names the last FULLY-written checkpoint epoch; a crash
         # mid-checkpoint leaves a partial epoch dir that is simply ignored
         epoch_dir = os.path.join(ckpt_dir, manifest["ckpt_epoch"])
@@ -228,7 +244,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
     else:
         # fresh run on a previously-used out_dir: clear stale outputs so
         # read_archive/read_order can never mix rows from an earlier run
-        for base in (archive_dir, errors_dir, order_dir, ckpt_dir):
+        for base in (archive_dir, errors_dir, order_dir, ckpt_dir, spill_dir):
             shutil.rmtree(base, ignore_errors=True)
             os.makedirs(base, exist_ok=True)
         _seed_shards(cfg, shards, filt)
@@ -407,7 +423,23 @@ def read_archive(out_dir: str) -> pa.Table:
             except FileNotFoundError:
                 pass
     if not parts:
-        return pa.table({c: [] for c in ARCHIVE_COLUMNS})
+        # properly-typed empty table — all-null-typed columns break typed
+        # concat/filter on a legitimately-empty archive
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "round": pa.array([], pa.int32()),
+                "depth": pa.array([], pa.int32()),
+                "image_id": pa.array([], pa.string()),
+                "bytes": pa.array([], pa.binary()),
+                "w": pa.array([], pa.int32()),
+                "h": pa.array([], pa.int32()),
+                "fmt": pa.array([], pa.string()),
+                "caption": pa.array([], pa.string()),
+                "phash": pa.array([], pa.int64()),
+            }
+        )
     return pa.concat_tables(parts)
 
 

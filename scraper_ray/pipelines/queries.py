@@ -94,12 +94,13 @@ def q_top_building_orders(sf_dir: str):
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    keys_ref = ray.put(keys)
+    keys = sorted(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    # build the Arrow value_set ONCE and broadcast it — rebuilding it per
+    # batch is O(|keys|) repeated work on every batch
+    keys_ref = ray.put(pa.array(keys, pa.int64()))
 
     def flt(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(ks), pa.int64()))
+        mask = pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref))
         return t.filter(mask)
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
@@ -173,14 +174,11 @@ def q_cull_known(sf_dir: str):
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
-    seen = set(cust.loc[cust["c_acctbal"] < 0, "c_custkey"])  # the "seen set"
-    seen_ref = ray.put(seen)
+    seen = sorted(cust.loc[cust["c_acctbal"] < 0, "c_custkey"])  # the "seen set"
+    seen_ref = ray.put(pa.array(seen, pa.int64()))
 
     def cull(t: pa.Table) -> pa.Table:
-        ks = ray.get(seen_ref)
-        mask = pc.invert(
-            pc.is_in(t["o_custkey"], value_set=pa.array(list(ks), pa.int64()))
-        )
+        mask = pc.invert(pc.is_in(t["o_custkey"], value_set=ray.get(seen_ref)))
         return t.filter(mask)
 
     from ray.data.aggregate import Count
@@ -406,7 +404,7 @@ def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
     import ray
 
     emb_file = f"{sf_dir}/embeddings.parquet"
-    qt = pq.read_table(emb_file).slice(0, nq)
+    qt = pq.read_table(emb_file, columns=["vec_id", "embedding"]).slice(0, nq)
     qids = qt["vec_id"].to_pylist()
     qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

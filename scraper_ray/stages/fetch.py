@@ -90,7 +90,7 @@ class Fetcher:
         depths = batch["depth"].to_pylist()
         n = len(urls)
         if not self.web.cfg.html:
-            return self._call_vectorized(batch, urls, hosts, depths, t0)
+            return self._call_vectorized(urls, hosts, depths, t0)
         cols: dict[str, list] = {k: [] for k in (
             "error_kind", "image_id", "bytes", "w", "h", "fmt", "caption",
             "phash", "body", "links",
@@ -137,12 +137,9 @@ class Fetcher:
             cols["fmt"].append(self.fmt[idx])
             cols["caption"].append(self.caption[idx])
             cols["phash"].append(self.phash[idx])
-            if web.cfg.html:
-                cols["body"].append(web.html(url))
-                cols["links"].append([])
-            else:
-                cols["body"].append("")
-                cols["links"].append(web.out_links(url))
+            # direct (non-html) mode returned via _call_vectorized above
+            cols["body"].append(web.html(url))
+            cols["links"].append([])
         ms = (time.perf_counter() - t0) * 1000.0
         per_row = ms / max(n, 1)
         return pa.table(
@@ -185,7 +182,7 @@ class Fetcher:
             return codec.psnr(gt, px) >= 40.0
         return bool(np.array_equal(px, gt))
 
-    def _call_vectorized(self, batch: pa.Table, urls, hosts, depths, t0):
+    def _call_vectorized(self, urls, hosts, depths, t0):
         """Direct (non-HTML) mode: batch hashing via SynthWeb.page_batch —
         the scale path; bit-identical outputs to the scalar loop."""
         n = len(urls)

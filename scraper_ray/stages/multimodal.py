@@ -71,10 +71,15 @@ class DecodeImages:
                 mean_lum.append(float(px.astype(np.float64).mean()))
                 decode_err.append("")
                 pixels.append(px.tobytes() if self.emit_pixels else None)
-            except NotImplementedError as e:
+            except NotImplementedError:
                 ok.append(False)
                 mean_lum.append(None)
                 decode_err.append(f"stub:{fmt}")
+                pixels.append(None)
+            except Exception as e:  # corrupt blob → per-row error, not a crash
+                ok.append(False)
+                mean_lum.append(None)
+                decode_err.append(f"error:{type(e).__name__}")
                 pixels.append(None)
         out = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
         out = out.append_column("mean_luminance", pa.array(mean_lum, pa.float64()))

@@ -222,6 +222,11 @@ class SeenSet:
         self.bloom.m = int(st["bloom_m"])
         self.bloom.k = int(st["bloom_k"])
         self.cuckoo.table = np.asarray(st["cuckoo_table"], dtype=np.uint16)
+        # rebuild the bucket geometry from the restored table — a capacity
+        # mismatch between checkpoint and current config would otherwise leave
+        # a stale mask that can't reach half the table (false negatives)
+        self.cuckoo.nbuckets = self.cuckoo.table.shape[0]
+        self.cuckoo.mask = np.uint64(self.cuckoo.nbuckets - 1)
         self.cuckoo.overflow = {
             (int(a), int(b)) for a, b in np.asarray(st["overflow"]).reshape(-1, 2)
         }

@@ -198,14 +198,18 @@ class StateShard:
             self._unspill()
         rows: list[tuple[float, str, str, int]] = []
         budget_left = max_rows if max_rows is not None else 1 << 62
+        if refill:
+            # refill EVERY pending host's bucket up front — refilling inside
+            # the drain loop would skip hosts after a max_rows budget break,
+            # starving them of tokens wave after wave
+            for host in self.pending:
+                self.tokens[host] = min(
+                    self.burst, self.tokens.get(host, 0.0) + self.rate
+                )
         for host in sorted(self.pending.keys()):
             if budget_left <= 0:
                 break
             heap = self.pending[host]
-            if refill:
-                self.tokens[host] = min(
-                    self.burst, self.tokens.get(host, 0.0) + self.rate
-                )
             avail = int(self.tokens.get(host, 0.0))
             take = min(avail, len(heap), budget_left)
             for _ in range(take):
