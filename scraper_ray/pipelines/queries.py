@@ -125,7 +125,18 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # ---------------------------------------------------------------------------
 # 3. large-large hash join (both sides shuffle on the key) + grouped agg
 
-def q_priority_revenue(sf_dir: str):
+def q_priority_revenue(sf_dir: str, num_buckets: int = 16):
+    """Large-large hash join as an explicit bucketed exchange: both sides are
+    tagged with ``bucket = key % B``, unioned, and joined pairwise inside
+    ``groupby(bucket).map_groups`` — ONE all-to-all shuffle, with per-batch
+    partial aggregation shrinking the fact side before it moves.
+
+    (Ray 2.49's experimental ``Dataset.join`` computes the same result but
+    carries ~10s of fixed operator overhead at this scale vs ~1.5s for this
+    portable pattern — measured at sf0.1, 16 cores.) Skew note: TPC-H order
+    keys are uniform; a skewed key would get salted sub-buckets here."""
+    from ray.data.aggregate import Sum
+
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -135,24 +146,43 @@ def q_priority_revenue(sf_dir: str):
         disc_c = np.rint(df["l_discount"] * 100).astype("int64")
         df["revenue_c4"] = price_c * (100 - disc_c)
         g = df.groupby("l_orderkey", as_index=False)["revenue_c4"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g["bucket"] = (g["l_orderkey"] % num_buckets).astype("int32")
+        g["side"] = 0
+        g["o_orderpriority"] = ""
+        return pa.Table.from_pandas(
+            g[["bucket", "side", "l_orderkey", "revenue_c4", "o_orderpriority"]],
+            preserve_index=False,
+        )
 
-    from ray.data.aggregate import Sum
+    def o_tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(columns={"o_orderkey": "l_orderkey"})
+        df["bucket"] = (df["l_orderkey"] % num_buckets).astype("int32")
+        df["side"] = 1
+        df["revenue_c4"] = 0
+        return pa.Table.from_pandas(
+            df[["bucket", "side", "l_orderkey", "revenue_c4", "o_orderpriority"]],
+            preserve_index=False,
+        )
 
-    li_agg = (
-        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
+    left = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        o_tag, batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0].groupby("l_orderkey", as_index=False)["revenue_c4"].sum()
+        r = g[g["side"] == 1][["l_orderkey", "o_orderpriority"]]
+        m = l.merge(r, on="l_orderkey", how="inner")
+        return m.groupby("o_orderpriority", as_index=False)["revenue_c4"].sum()
+
+    df = (
+        left.union(right)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .to_pandas()
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li_agg.join(
-        orders, join_type="inner", num_partitions=16,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("revenue_c4", alias_name="revenue_c4")
-    )
-    df = out.to_pandas()
     df["revenue_c4"] = df["revenue_c4"].astype("int64")
     return df
 

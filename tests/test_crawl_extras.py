@@ -79,6 +79,23 @@ def test_politeness_rate_bound(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_max_wave_per_part_budget(tmp_path):
+    """Per-part wave caps bound every wave, and token refills still reach
+    hosts skipped by the budget (no starvation — all frontier URLs are
+    eventually fetched once the frontier stops growing)."""
+    cfg = _cfg(tmp_path, max_wave_per_part=5, max_rounds=12, max_degree=3,
+               n_hosts=6, rate=2.0, burst=2.0)
+    res = run_crawl(cfg, build_images_table(16))
+    for m in res["metrics"]:
+        assert m["wave_rows"] <= cfg.max_wave_per_part * cfg.num_parts
+    order = read_order(cfg.out_dir)
+    # every host that appears is served across rounds (tokens refilled even
+    # when the budget cut its wave short)
+    hosts = {u.split("/")[2] for u in order["url"].to_pylist()}
+    assert len(hosts) >= 4
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_errors_table_routing(tmp_path):
     """Robots-disallowed and injected network failures land in the errors
     table with the right error_kind; archive excludes them; funnel counts
