@@ -77,10 +77,12 @@ def q_pricing_summary(sf_dir: str):
 
 Q_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_revenue_c4,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS sum_revenue_c4,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -189,8 +191,9 @@ def q_priority_revenue(sf_dir: str, num_buckets: int = 16):
 
 Q_PRIORITY_REVENUE_SQL = """
 SELECT o_orderpriority,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -297,12 +300,15 @@ def q_events_daily(sf_dir: str):
     df = out.to_pandas()
     df["n_events"] = df["n_events"].astype("int64")
     df["sum_value_milli"] = df["sum_value_milli"].astype("int64")
+    # floor_temporal emits second precision; the driver hashes dtype-sensitive
+    # representations, so align to DuckDB's microsecond timestamps
+    df["day"] = df["day"].astype("datetime64[us]")
     return df
 
 
 Q_EVENTS_DAILY_SQL = """
 SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
-       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
 FROM events GROUP BY user_id, date_trunc('day', ts)
 """
 
@@ -336,7 +342,7 @@ WITH d AS (
                       > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events)
-SELECT user_id, sum(new_s) AS n_sessions FROM d GROUP BY user_id
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
 """
 
 
@@ -415,8 +421,8 @@ def q_token_stats(sf_dir: str):
 
 Q_TOKEN_STATS_SQL = """
 SELECT source, count(*) AS n_docs,
-       sum(array_length(string_split(text, ' '))) AS sum_tokens,
-       sum(n_chars) AS sum_chars
+       CAST(sum(array_length(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source
 """
 
