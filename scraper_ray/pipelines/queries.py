@@ -373,13 +373,173 @@ WHERE source NOT LIKE '%src1%' GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# shared LSH-candidate / distributed-verify infrastructure (dedup families)
+
+#: Max members considered per LSH band bucket. A degenerate bucket (e.g. a
+#: massive cluster of identical documents) would otherwise emit O(b²) pairs;
+#: the cap bounds it at O(cap²) deterministically (sorted ids) and logs the
+#: drop. At corpus scale a bucket this full is itself a dup-cluster signal.
+LSH_BUCKET_CAP = 1024
+
+
+def _bucket_pairs(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """Candidate pairs (upper triangle) within one LSH band bucket, capped."""
+    ids = np.unique(g[id_col].to_numpy())
+    if len(ids) > LSH_BUCKET_CAP:
+        import logging
+
+        logging.getLogger("scraper_ray.lsh").warning(
+            "LSH bucket overflow: %d members > cap %d; keeping first %d "
+            "(sorted ids), dropping %d members' pairs",
+            len(ids), LSH_BUCKET_CAP, LSH_BUCKET_CAP, len(ids) - LSH_BUCKET_CAP,
+        )
+        ids = ids[:LSH_BUCKET_CAP]
+    ia, ib = np.triu_indices(len(ids), 1)
+    return pd.DataFrame({"id_a": pd.Series(ids[ia], dtype="int64"),
+                         "id_b": pd.Series(ids[ib], dtype="int64")})
+
+
+def _dedupe_pairs(pairs_ds, num_parts: int = 64):
+    """Distinct (id_a, id_b) as a Dataset op — a candidate pair surfaced by
+    several bands must be verified once, not once per band. Implemented as a
+    hash-partitioned exchange (pair-hash % P) with a vectorized
+    ``drop_duplicates`` per partition: a groupby keyed on the pair itself
+    would create one Python group per pair (measured 240s for 100k pairs on
+    Ray's sort-based aggregate); P coarse partitions keep the dedup kernel
+    vectorized. The exchange moves 16-byte pair rows; no driver read."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"].to_pylist(), dtype=np.uint64)
+        b = np.asarray(t["id_b"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            pk = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(num_parts)
+        return t.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    return (pairs_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(lambda g: g[["id_a", "id_b"]].drop_duplicates(),
+                        batch_format="pandas"))
+
+
+def _bucket_attach(pairs_ds, pair_schema: pa.Schema, lookup_ds, lookup_key: str,
+                   lookup_val: str, key_col: str, out_col: str,
+                   val_type: pa.DataType, num_buckets: int = 16):
+    """Attach ``lookup[lookup_val]`` onto pair rows where
+    ``pairs[key_col] == lookup[lookup_key]`` via an explicit bucketed hash
+    join (tag both sides with ``bucket = key % B``, union, per-bucket merge)
+    — the q_priority_revenue exchange pattern. This is how near-dup
+    verification gets its payloads (texts / embeddings) WITHOUT a driver-side
+    read or a full-table broadcast: the shuffle moves the candidate pairs
+    plus one copy of the lookup column.
+
+    Returns a Dataset with ``pair_schema``'s columns plus ``out_col``.
+    """
+    full = pa.schema(
+        [pa.field("bucket", pa.int32()), pa.field("side", pa.int8()),
+         pa.field("jkey", pa.int64())]
+        + list(pair_schema)
+        + [pa.field(out_col, val_type)]
+    )
+    pair_names = [f.name for f in pair_schema]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].to_pylist(), dtype=np.int64)
+        cols = {
+            "bucket": pa.array((key % num_buckets).astype(np.int32)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "jkey": pa.array(key),
+        }
+        for f in pair_schema:
+            cols[f.name] = t[f.name].cast(f.type)
+        cols[out_col] = pa.nulls(len(key), val_type)
+        return pa.table({f.name: cols[f.name] for f in full})
+
+    def tag_lookup(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[lookup_key].to_pylist(), dtype=np.int64)
+        cols = {
+            "bucket": pa.array((key % num_buckets).astype(np.int32)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "jkey": pa.array(key),
+        }
+        for f in pair_schema:
+            cols[f.name] = pa.nulls(len(key), f.type)
+        cols[out_col] = t[lookup_val].cast(val_type)
+        return pa.table({f.name: cols[f.name] for f in full})
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[g["side"] == 0]
+        lut = g[g["side"] == 1]
+        mapping = dict(zip(lut["jkey"].tolist(), lut[out_col].tolist()))
+        out = pairs[pair_names].copy()
+        out[out_col] = pairs["jkey"].map(mapping)
+        return out
+
+    tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+    tagged_lut = lookup_ds.map_batches(tag_lookup, batch_format="pyarrow")
+    return (tagged_pairs.union(tagged_lut)
+            .groupby("bucket")
+            .map_groups(join, batch_format="pandas"))
+
+
+_PAIR_SCHEMA = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64())])
+
+
+def _verify_pairs_with_texts(cand_ds, docs_ds, keep_fn):
+    """Join texts onto candidate pairs (two bucketed attaches) and verify with
+    ``keep_fn(text_a, text_b) -> bool`` inside ``map_batches`` — the verify
+    step runs distributed over candidate batches, never as a driver loop."""
+    with_a = _bucket_attach(cand_ds, _PAIR_SCHEMA, docs_ds, "doc_id", "text",
+                            "id_a", "text_a", pa.string())
+    schema_a = pa.schema(list(_PAIR_SCHEMA) + [pa.field("text_a", pa.string())])
+    with_ab = _bucket_attach(with_a, schema_a, docs_ds, "doc_id", "text",
+                             "id_b", "text_b", pa.string())
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = [bool(keep_fn(ta, tb)) for ta, tb in
+                zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())]
+        kept = t.filter(pa.array(keep, pa.bool_()))
+        return pa.table({"id_a": kept["id_a"].cast(pa.int64()),
+                         "id_b": kept["id_b"].cast(pa.int64())})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def _pairs_to_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    if len(df) == 0:  # empty Datasets drop the schema through to_pandas
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return (df.astype("int64").drop_duplicates()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # 10. exact text dedup (hash-partition, keep first = min doc_id per text)
 
 def q_dedup_exact(sf_dir: str):
+    """Keep-first exact dedup keyed on a 128-bit content hash (two
+    independent seeded 64-bit views), so the exchange moves 24-byte rows
+    instead of full document bodies. Collision probability at 2^128 is
+    ~n²/2^129 (≈1e-21 at a billion docs) — the in-group member is the min
+    doc_id per hash, matching GROUP BY text byte-for-byte in practice."""
     from ray.data.aggregate import Min
+    from ..functions.hashing import hash64_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        h1 = hash64_batch(texts)
+        h2 = hash64_batch(["dedup2::" + x for x in texts])
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+        })
+
+    out = (ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+           .groupby(["h1", "h2"])
+           .aggregate(Min("doc_id", alias_name="doc_id")))
     df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
@@ -503,40 +663,72 @@ SELECT qid AS query_id, vid AS neighbor_id FROM r WHERE rn <= {ANN_K}
 # ---------------------------------------------------------------------------
 # 13. embedding-cosine near-duplicate pairs (threshold join)
 
-def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5):
-    import pyarrow.parquet as pq
-    import ray
+def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5,
+                         rows_per_band: int = 4, num_bands: int = 32,
+                         seed: int = 7):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH banding —
+    the scale path: no full-matrix broadcast, no O(N²) matmul.
+
+    Per batch: seeded hyperplane sketch (d × r·b signs), banded into b keys
+    of r bits; groupby band buckets → capped candidate pairs → distinct →
+    embeddings joined on via the bucketed exchange → exact cosine verify
+    inside ``map_batches``. Verification is exact, so precision matches the
+    SQL oracle; recall is 1-(1-p^r)^b with p = 1-θ/π (≥0.999 at cos 0.51
+    for r=4, b=32, and higher at realistic near-dup thresholds ~0.9).
+    """
     import ray.data as rd
 
     emb_file = f"{sf_dir}/embeddings.parquet"
-    # the full (normalized) matrix is broadcast once; each batch compares its
-    # rows against all rows with larger vec_id (upper-triangle, no dup pairs)
-    full = pq.read_table(emb_file, columns=["vec_id", "embedding"])
-    all_ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
-    allm = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    allm /= np.linalg.norm(allm, axis=1, keepdims=True)
-    ref = ray.put((all_ids, allm))
+    nbits = rows_per_band * num_bands
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids_, m_ = ray.get(ref)
-        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    def sigs(t: pa.Table) -> pa.Table:
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m_.T
-        a_out, b_out = [], []
-        for i in range(len(vids)):
-            hits = np.nonzero((np.round(sims[i], 6) >= thresh) & (ids_ > vids[i]))[0]
-            a_out.extend([vids[i]] * len(hits))
-            b_out.extend(ids_[hits].tolist())
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64())})
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        # the hyperplane matrix is a pure function of (seed, d) — every task
+        # regenerates the identical tiny matrix (d × nbits) locally, which is
+        # cheaper than shipping it and trivially deterministic
+        rng = np.random.Generator(np.random.PCG64(seed))
+        hp = rng.standard_normal((m.shape[1], nbits))
+        bits = (m @ hp) >= 0  # (n, nbits); norm > 0 so no need to normalize
+        packed = bits.reshape(len(vids), num_bands, rows_per_band)
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        band_vals = (packed * weights).sum(axis=2)  # (n, bands)
+        n = len(vids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(vids, num_bands)),
+            "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_vals.reshape(-1)),
+        })
 
-    ds = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
-    df = ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048).to_pandas()
-    if len(df) == 0:  # empty Datasets drop the schema through to_pandas
-        df = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                           "id_b": pd.Series([], dtype="int64")})
-    return df
+    emb = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    cand = _dedupe_pairs(
+        emb.map_batches(sigs, batch_format="pyarrow", batch_size=4096)
+        .groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+
+    vec_type = pa.list_(pa.float32())
+    lut = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    with_a = _bucket_attach(cand, _PAIR_SCHEMA, lut, "vec_id", "embedding",
+                            "id_a", "vec_a", vec_type)
+    schema_a = pa.schema(list(_PAIR_SCHEMA) + [pa.field("vec_a", vec_type)])
+    lut2 = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    with_ab = _bucket_attach(with_a, schema_a, lut2, "vec_id", "embedding",
+                             "id_b", "vec_b", vec_type)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = np.array(t["vec_a"].to_pylist(), dtype=np.float64)
+        b = np.array(t["vec_b"].to_pylist(), dtype=np.float64)
+        sims = (a * b).sum(axis=1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        kept = t.filter(pa.array(np.round(sims, 6) >= thresh))
+        return pa.table({"id_a": kept["id_a"].cast(pa.int64()),
+                         "id_b": kept["id_b"].cast(pa.int64())})
+
+    return _pairs_to_df(with_ab.map_batches(verify, batch_format="pyarrow"))
 
 
 Q_EMB_NEAR_DUP_SQL = """
@@ -550,11 +742,11 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.5
 # 14-17. non-SQL-expressible training-data ops (rows-only driver check)
 
 def q_minhash_near_dup(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs verified by true Jaccard ≥ 0.5
-    over word 3-shingles. Shingle→signature per batch; explode to
-    (band, band_hash, doc_id); groupby band buckets → candidate pairs;
-    verify with exact Jaccard (narrow re-read of candidates only)."""
-    import ray.data as rd
+    """MinHash+LSH near-dup pairs verified by true Jaccard ≥ 0.5 over word
+    3-shingles. Shingle→signature per batch; explode to (band, band_hash,
+    doc_id); groupby band buckets → capped candidate pairs → distinct →
+    texts joined on via the bucketed exchange → exact-Jaccard verify inside
+    ``map_batches``. No driver-side text read or verify loop."""
     from ..functions.sketches import MinHasher
     from ..functions.textstats import jaccard, word_shingles
 
@@ -575,42 +767,17 @@ def q_minhash_near_dup(sf_dir: str):
         })
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    banded = ds.map_batches(sigs, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64")})
-
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    cand = _dedupe_pairs(
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64")})
-    cand = cand.drop_duplicates().astype("int64")
-    # verify candidates with true jaccard (small set; texts fetched once)
-    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
-    import pyarrow.parquet as pq
-    import pyarrow.dataset as pads
-
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                        filters=[("doc_id", "in", need)])
-    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    keep_a, keep_b = [], []
-    for ia, ib in zip(cand["id_a"], cand["id_b"]):
-        if jaccard(word_shingles(texts[ia], 3), word_shingles(texts[ib], 3)) >= 0.5:
-            keep_a.append(int(ia))
-            keep_b.append(int(ib))
-    return pd.DataFrame({"id_a": pd.Series(keep_a, dtype="int64"),
-                         "id_b": pd.Series(keep_b, dtype="int64")})
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    verified = _verify_pairs_with_texts(
+        cand, docs,
+        lambda ta, tb: jaccard(word_shingles(ta, 3), word_shingles(tb, 3)) >= 0.5,
+    )
+    return _pairs_to_df(verified)
 
 
 def q_simhash_dups(sf_dir: str):
@@ -640,17 +807,22 @@ def q_simhash_dups(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketches import hamming64_batch
+
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = g["simhash"].tolist()
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if hamming64(int(hs[i]), int(hs[j])) <= 3:
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64")})
+        if len(g) > LSH_BUCKET_CAP:  # degenerate chunk bucket: bound O(b²)
+            import logging
+
+            logging.getLogger("scraper_ray.lsh").warning(
+                "simhash bucket overflow: %d members > cap %d; keeping first "
+                "%d (sorted ids)", len(g), LSH_BUCKET_CAP, LSH_BUCKET_CAP)
+            g = g.iloc[:LSH_BUCKET_CAP]
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = hamming64_batch(hs[ia], hs[ib]) <= 3
+        return pd.DataFrame({"id_a": pd.Series(ids[ia][keep], dtype="int64"),
+                             "id_b": pd.Series(ids[ib][keep], dtype="int64")})
 
     pairs = (
         ds.map_batches(sh, batch_format="pyarrow")
@@ -667,10 +839,9 @@ def q_simhash_dups(sf_dir: str):
 
 def q_ngram_jaccard_dedup(sf_dir: str):
     """Character-5-gram Jaccard near-dup pairs (threshold 0.4): MinHash-LSH
-    over char n-grams for candidate generation, exact n-gram Jaccard verify.
-    The third dedup family next to word-shingle MinHash and SimHash."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    over char n-grams for candidate generation, then the same distributed
+    join-texts-and-verify exchange as q_minhash_near_dup. The third dedup
+    family next to word-shingle MinHash and SimHash."""
     from ..functions.sketches import MinHasher
     from ..functions.textstats import char_ngrams, jaccard
 
@@ -689,38 +860,18 @@ def q_ngram_jaccard_dedup(sf_dir: str):
             "band_hash": pa.array(bhs, pa.uint64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64")})
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = (
+    cand = _dedupe_pairs(
         ds.map_batches(sigs, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(_bucket_pairs, batch_format="pandas")
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64")})
-    cand = cand.drop_duplicates().astype("int64")
-    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                        filters=[("doc_id", "in", need)])
-    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    keep_a, keep_b = [], []
-    for ia, ib in zip(cand["id_a"], cand["id_b"]):
-        if jaccard(char_ngrams(texts[ia], 5), char_ngrams(texts[ib], 5)) >= 0.4:
-            keep_a.append(int(ia))
-            keep_b.append(int(ib))
-    return pd.DataFrame({"id_a": pd.Series(keep_a, dtype="int64"),
-                         "id_b": pd.Series(keep_b, dtype="int64")})
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    verified = _verify_pairs_with_texts(
+        cand, docs,
+        lambda ta, tb: jaccard(char_ngrams(ta, 5), char_ngrams(tb, 5)) >= 0.4,
+    )
+    return _pairs_to_df(verified)
 
 
 def q_asof_last_click(sf_dir: str):
