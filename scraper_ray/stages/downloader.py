@@ -1,0 +1,211 @@
+"""Pluggable page-resolver seam for the fetch stage.
+
+The reference's core fetch operator is an HTTP GET behind a trait
+(`/root/reference/worker/src/traits.rs:46-48`, `downloader.rs:26-41`); the
+engine mirrors that seam so a deployment can swap the sandbox's deterministic
+synthetic web for a real network client without touching the Fetcher /
+WaveWorker hot paths.
+
+A ``Downloader`` resolves frontier URLs to *payload handles* plus out-links
+and an error kind per URL. Handles index the downloader's columnar payload
+store (``image_id / blob / w / h / fmt / caption / phash`` lists): for
+:class:`SynthWebDownloader` they point into the broadcast images table
+(zero-copy — payload bytes are shared via ``ray.put`` once and never
+duplicated per batch); for :class:`HTTPDownloader` they point into a
+batch-local buffer of downloaded bytes. Handles are only valid until the next
+``fetch_batch`` call.
+
+Error kinds use the reference taxonomy (``functions/errors.py``): network
+failures → ``NetworkError``, HTTP 5xx → ``ServerError``, HTTP 4xx →
+``InvalidPage``, robots → ``RobotsDisallowed``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import numpy as np
+
+from ..sources.synthweb import SynthWeb, SynthWebConfig
+from ..state.ratelimit import WallClockTokenBucket
+
+
+class PageBatch(NamedTuple):
+    """Columnar result of one ``fetch_batch`` call (rows align with urls)."""
+
+    payload_idx: np.ndarray  # int64 handle into the payload store; -1 on error
+    links: list  # list[list[str]] out-links per page ([] on error / html mode)
+    error_kind: list  # str per url; "" = ok
+
+
+class Downloader:
+    """Protocol base. Implementations provide:
+
+    - ``html_mode`` (bool): True → pages carry an HTML body and links are
+      extracted downstream; False → ``fetch_batch`` returns out-links
+      directly (the vectorized scale path).
+    - payload columns ``image_id, blob, w, h, fmt, caption, phash`` (lists
+      addressed by the handles in :class:`PageBatch`).
+    - ``fetch_batch(urls, hosts) -> PageBatch`` — the batched resolve.
+    - html mode additionally: ``fetch_one(url) -> (error_kind, handle,
+      body_html)``.
+    """
+
+    html_mode: bool = False
+    image_id: list
+    blob: list
+    w: list
+    h: list
+    fmt: list
+    caption: list
+    phash: list
+
+    def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+        raise NotImplementedError
+
+    def fetch_one(self, url: str):
+        raise NotImplementedError
+
+
+class SynthWebDownloader(Downloader):
+    """Deterministic offline downloader over :class:`SynthWeb` — the
+    sandbox stand-in for the network. ``fail_mod`` injects deterministic
+    NetworkError rows (hash-selected URLs), modelling the reference's
+    transient-download failures."""
+
+    def __init__(self, images, web_cfg: dict, fail_mod: int = 0):
+        cfg = SynthWebConfig(**{**web_cfg, "n_images": images.num_rows})
+        self.web = SynthWeb(cfg)
+        self.html_mode = cfg.html
+        self.fail_mod = fail_mod
+        # column-wise python lists once per actor; rows are tiny, access O(1)
+        self.image_id = images["image_id"].to_pylist()
+        self.blob = images["bytes"].to_pylist()
+        self.w = images["w"].to_pylist()
+        self.h = images["h"].to_pylist()
+        self.fmt = images["fmt"].to_pylist()
+        self.caption = images["caption"].to_pylist()
+        self.phash = images["phash"].to_pylist()
+
+    def _failed_mask(self, urls: list) -> np.ndarray:
+        if not self.fail_mod:
+            return np.zeros(len(urls), dtype=bool)
+        from ..functions.hashing import hash64_batch
+
+        return (hash64_batch(["fail::" + u for u in urls])
+                % np.uint64(self.fail_mod)) == 0
+
+    def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+        img_idx, links, disallowed = self.web.page_batch(urls, hosts)
+        failed = self._failed_mask(urls)
+        err = np.where(disallowed, "RobotsDisallowed",
+                       np.where(failed, "NetworkError", ""))
+        ok = ~(disallowed | failed)
+        payload_idx = np.where(ok, img_idx, -1).astype(np.int64)
+        return PageBatch(payload_idx,
+                         [links[i] if ok[i] else [] for i in range(len(urls))],
+                         err.tolist())
+
+    def fetch_one(self, url: str):
+        from ..functions.hashing import hash64
+
+        if self.web.is_disallowed(url):
+            return "RobotsDisallowed", -1, ""
+        if self.fail_mod and hash64("fail::" + url) % self.fail_mod == 0:
+            # deterministic injected transient failure — the reference maps
+            # network errors to Reject, whose requeue flag is bugged to false
+            # (rmqredis.rs:230-251), i.e. the task is dropped; we reproduce
+            # the *actual* behaviour and record the error row.
+            return "NetworkError", -1, ""
+        return "", self.web.image_index(url), self.web.html(url)
+
+
+class HTTPDownloader(Downloader):
+    """Real-network downloader skeleton (`downloader.rs:26-41` parity).
+
+    Wall-clock politeness: one :class:`WallClockTokenBucket` per actor paces
+    requests per host before each GET — host-affine batch routing guarantees
+    a single Fetcher owns each host's bucket (SURVEY.md §4.1), so the bucket
+    needs no cross-actor coordination.
+
+    The socket layer (``_get``) raises ``NotImplementedError`` in this
+    sandbox (no network); a deployment overrides it with an HTTP client
+    returning ``(status_code, content_type, body_bytes)``. Payload metadata
+    extraction (dimensions, caption, perceptual hash) is the deployment's
+    decode stage — this skeleton stores raw bytes with the content-type as
+    ``fmt`` and leaves the remaining columns None.
+    """
+
+    def __init__(self, rate_per_sec: float = 1.0, burst: float = 4.0,
+                 timeout_s: float = 30.0, user_agent: str = "scraper-ray/0",
+                 clock=time.monotonic, sleep=time.sleep):
+        self.bucket = WallClockTokenBucket(rate_per_sec, burst, clock=clock)
+        self._sleep = sleep
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+        self.html_mode = True
+        self._reset_payloads()
+
+    def _reset_payloads(self):
+        self.image_id, self.blob, self.w, self.h = [], [], [], []
+        self.fmt, self.caption, self.phash = [], [], []
+
+    def _get(self, url: str):
+        """-> (status_code, content_type, body_bytes). Override me."""
+        raise NotImplementedError(
+            "no network in this environment; plug an HTTP client here")
+
+    @staticmethod
+    def _classify(status: int) -> str:
+        if status >= 500:
+            return "ServerError"
+        if status >= 400:
+            return "InvalidPage"
+        return ""
+
+    def _store(self, url: str, content_type: str, body: bytes) -> int:
+        self.image_id.append(url)
+        self.blob.append(body)
+        self.w.append(None)
+        self.h.append(None)
+        self.fmt.append(content_type)
+        self.caption.append(None)
+        self.phash.append(None)
+        return len(self.blob) - 1
+
+    def fetch_one(self, url: str):
+        from ..functions.urlnorm import host_of
+
+        self.bucket.acquire(host_of(url), sleep=self._sleep)
+        try:
+            status, ctype, body = self._get(url)
+        except NotImplementedError:
+            raise
+        except Exception:
+            return "NetworkError", -1, ""
+        err = self._classify(status)
+        if err:
+            return err, -1, ""
+        if ctype.startswith("text/html"):
+            return "", -1, body.decode("utf-8", errors="replace")
+        return "", self._store(url, ctype, body), ""
+
+    def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+        self._reset_payloads()
+        idx = np.full(len(urls), -1, dtype=np.int64)
+        links: list = [[] for _ in urls]
+        errs: list = [""] * len(urls)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            self.bucket.acquire(h, sleep=self._sleep)
+            try:
+                status, ctype, body = self._get(u)
+            except NotImplementedError:
+                raise
+            except Exception:
+                errs[i] = "NetworkError"
+                continue
+            errs[i] = self._classify(status)
+            if not errs[i]:
+                idx[i] = self._store(u, ctype, body)
+        return PageBatch(idx, links, errs)

@@ -1,12 +1,15 @@
 """Fetch + link-routing stage bodies for ``map_batches``.
 
 ``Fetcher`` is the actor-pool stage (callable class → one instance per actor;
-state built once in ``__init__``): it resolves each frontier URL against the
-deterministic synthetic web (the sandbox stand-in for the reference's HTTP
-downloader, `/root/reference/worker/src/downloader.rs:26-41`), enforces
-robots.txt via a per-actor robots cache, and attaches the page's image+caption
-payload drawn zero-copy from the broadcast images table (``ray.put`` once on
-the driver, ``ray.get`` once per actor).
+state built once in ``__init__``): it resolves each frontier URL through a
+pluggable :class:`~scraper_ray.stages.downloader.Downloader` (the seam
+mirroring the reference's HTTP downloader trait,
+`/root/reference/worker/src/traits.rs:46-48` / `downloader.rs:26-41`). The
+default is the deterministic synthetic-web downloader, which enforces
+robots.txt and serves each page's image+caption payload zero-copy from the
+broadcast images table (``ray.put`` once on the driver, ``ray.get`` once per
+actor); a deployment plugs in an HTTP client via
+``stages.downloader.HTTPDownloader``.
 
 ``LinkRouter`` is the downstream stage: per PAGE (the reference normalises and
 dedups per resolved page, `worker/src/worker.rs:85-133`) it extracts links
@@ -28,7 +31,6 @@ import pyarrow as pa
 
 from ..functions.hashing import hash64_batch, part_of, priority_of
 from ..functions.urlnorm import canonicalize_batch
-from ..sources.synthweb import SynthWeb, SynthWebConfig
 from .extract import extract_links
 from .filters import HostFilter
 
@@ -56,32 +58,33 @@ FETCH_SCHEMA = pa.schema(
 class Fetcher:
     def __init__(
         self,
-        images_ref,
-        web_cfg: dict,
+        images_ref=None,
+        web_cfg: dict | None = None,
         round_idx: int = 0,
         fail_mod: int = 0,
         verify_decode: bool = False,
+        downloader=None,
     ):
-        import ray
-
-        images = (
-            ray.get(images_ref)
-            if isinstance(images_ref, ray.ObjectRef)
-            else images_ref
-        )
+        """``downloader`` is the pluggable resolver seam
+        (stages/downloader.py, mirroring `worker/src/traits.rs:46-48`);
+        default = the deterministic SynthWebDownloader over the broadcast
+        images table (``ray.get`` once per actor)."""
         self.verify_decode = verify_decode
-        # column-wise python lists once per actor; rows are tiny and access is O(1)
-        self.image_id = images["image_id"].to_pylist()
-        self.blob = images["bytes"].to_pylist()
-        self.w = images["w"].to_pylist()
-        self.h = images["h"].to_pylist()
-        self.fmt = images["fmt"].to_pylist()
-        self.caption = images["caption"].to_pylist()
-        self.phash = images["phash"].to_pylist()
-        cfg = SynthWebConfig(**{**web_cfg, "n_images": len(self.image_id)})
-        self.web = SynthWeb(cfg)
         self.round_idx = round_idx
-        self.fail_mod = fail_mod
+        if downloader is None:
+            import ray
+
+            from .downloader import SynthWebDownloader
+
+            images = (
+                ray.get(images_ref)
+                if isinstance(images_ref, ray.ObjectRef)
+                else images_ref
+            )
+            downloader = SynthWebDownloader(images, web_cfg or {}, fail_mod)
+        self.dl = downloader
+        # retained for crawl-config plumbing (SynthWeb-backed pools only)
+        self.web = getattr(downloader, "web", None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -89,56 +92,35 @@ class Fetcher:
         hosts = batch["host"].to_pylist()
         depths = batch["depth"].to_pylist()
         n = len(urls)
-        if not self.web.cfg.html:
+        if not self.dl.html_mode:
             return self._call_vectorized(urls, hosts, depths, t0)
         cols: dict[str, list] = {k: [] for k in (
             "error_kind", "image_id", "bytes", "w", "h", "fmt", "caption",
             "phash", "body", "links",
         )}
-        web = self.web
-        from ..functions.hashing import hash64
-
+        dl = self.dl
         for i in range(n):
             url = urls[i]
-            err = ""
-            if web.is_disallowed(url):
-                err = "RobotsDisallowed"
-            elif self.fail_mod and hash64("fail::" + url) % self.fail_mod == 0:
-                # deterministic injected transient failure — the reference maps
-                # network errors to Reject, whose requeue flag is bugged to
-                # false (rmqredis.rs:230-251), i.e. the task is dropped; we
-                # reproduce the *actual* behaviour and record the error row.
-                err = "NetworkError"
+            err, idx, body = dl.fetch_one(url)
+            if not err and self.verify_decode and not self._verify(idx):
+                err = "DecodeError"
             if err:
                 cols["error_kind"].append(err)
-                cols["image_id"].append(None)
-                cols["bytes"].append(None)
-                cols["w"].append(None)
-                cols["h"].append(None)
-                cols["fmt"].append(None)
-                cols["caption"].append(None)
-                cols["phash"].append(None)
-                cols["body"].append("")
-                cols["links"].append([])
-                continue
-            idx = web.image_index(url)
-            if self.verify_decode and not self._verify(idx):
-                cols["error_kind"].append("DecodeError")
                 for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
                     cols[k].append(None)
                 cols["body"].append("")
                 cols["links"].append([])
                 continue
             cols["error_kind"].append("")
-            cols["image_id"].append(self.image_id[idx])
-            cols["bytes"].append(self.blob[idx])
-            cols["w"].append(self.w[idx])
-            cols["h"].append(self.h[idx])
-            cols["fmt"].append(self.fmt[idx])
-            cols["caption"].append(self.caption[idx])
-            cols["phash"].append(self.phash[idx])
+            cols["image_id"].append(dl.image_id[idx])
+            cols["bytes"].append(dl.blob[idx])
+            cols["w"].append(dl.w[idx])
+            cols["h"].append(dl.h[idx])
+            cols["fmt"].append(dl.fmt[idx])
+            cols["caption"].append(dl.caption[idx])
+            cols["phash"].append(dl.phash[idx])
             # direct (non-html) mode returned via _call_vectorized above
-            cols["body"].append(web.html(url))
+            cols["body"].append(body)
             cols["links"].append([])
         ms = (time.perf_counter() - t0) * 1000.0
         per_row = ms / max(n, 1)
@@ -171,38 +153,33 @@ class Fetcher:
         from ..functions import codec
         from ..sources.fixtures import index_of_image_id
 
-        gt = codec.gen_pixels(index_of_image_id(self.image_id[idx]))
+        dl = self.dl
+        gt = codec.gen_pixels(index_of_image_id(dl.image_id[idx]))
         try:
-            px = codec.decode(self.blob[idx], self.fmt[idx])
+            px = codec.decode(dl.blob[idx], dl.fmt[idx])
         except Exception:
             return False
         if px.shape != gt.shape:
             return False
-        if self.fmt[idx] == "lqi":
+        if dl.fmt[idx] == "lqi":
             return codec.psnr(gt, px) >= 40.0
         return bool(np.array_equal(px, gt))
 
     def _call_vectorized(self, urls, hosts, depths, t0):
-        """Direct (non-HTML) mode: batch hashing via SynthWeb.page_batch —
+        """Direct (non-HTML) mode: one batched downloader resolve —
         the scale path; bit-identical outputs to the scalar loop."""
         n = len(urls)
+        dl = self.dl
         tv0 = time.perf_counter()
-        img_idx, links, disallowed = self.web.page_batch(urls, hosts)
+        pb = dl.fetch_batch(urls, hosts)
         tv1 = time.perf_counter()
-        if self.fail_mod:
-            from ..functions.hashing import hash64_batch
-
-            failed = (hash64_batch(["fail::" + u for u in urls])
-                      % np.uint64(self.fail_mod)) == 0
-        else:
-            failed = np.zeros(n, dtype=bool)
-        err_kinds = np.where(disallowed, "RobotsDisallowed",
-                             np.where(failed, "NetworkError", ""))
-        ok = ~(disallowed | (failed & ~disallowed))
+        err_kinds = np.asarray(pb.error_kind, dtype=object)
+        ok = err_kinds == ""
+        idxs = pb.payload_idx
         if self.verify_decode:
             bad = np.zeros(n, dtype=bool)
             for i in np.nonzero(ok)[0]:
-                if not self._verify(int(img_idx[i])):
+                if not self._verify(int(idxs[i])):
                     bad[i] = True
             if bad.any():
                 err_kinds = np.where(bad, "DecodeError", err_kinds)
@@ -217,14 +194,14 @@ class Fetcher:
         cols = {
             "error_kind": err_kinds.tolist(),
             "body": [""] * n,
-            "image_id": [self.image_id[img_idx[i]] if ok[i] else None for i in range(n)],
-            "bytes": [self.blob[img_idx[i]] if ok[i] else None for i in range(n)],
-            "w": [self.w[img_idx[i]] if ok[i] else None for i in range(n)],
-            "h": [self.h[img_idx[i]] if ok[i] else None for i in range(n)],
-            "fmt": [self.fmt[img_idx[i]] if ok[i] else None for i in range(n)],
-            "caption": [self.caption[img_idx[i]] if ok[i] else None for i in range(n)],
-            "phash": [self.phash[img_idx[i]] if ok[i] else None for i in range(n)],
-            "links": [links[i] if ok[i] else [] for i in range(n)],
+            "image_id": [dl.image_id[idxs[i]] if ok[i] else None for i in range(n)],
+            "bytes": [dl.blob[idxs[i]] if ok[i] else None for i in range(n)],
+            "w": [dl.w[idxs[i]] if ok[i] else None for i in range(n)],
+            "h": [dl.h[idxs[i]] if ok[i] else None for i in range(n)],
+            "fmt": [dl.fmt[idxs[i]] if ok[i] else None for i in range(n)],
+            "caption": [dl.caption[idxs[i]] if ok[i] else None for i in range(n)],
+            "phash": [dl.phash[idxs[i]] if ok[i] else None for i in range(n)],
+            "links": [pb.links[i] if ok[i] else [] for i in range(n)],
         }
         ms = (time.perf_counter() - t0) * 1000.0
         per_row = ms / max(n, 1)
@@ -412,8 +389,10 @@ class WaveWorker(Fetcher):
     def __init__(self, images_ref, web_cfg: dict, round_idx: int,
                  fail_mod: int, shard_handles: list, filter_cfg: dict,
                  num_parts: int, archive_dir: str, errors_dir: str,
-                 verify_decode: bool = False, seen_partition: str = "host"):
-        super().__init__(images_ref, web_cfg, round_idx, fail_mod, verify_decode)
+                 verify_decode: bool = False, seen_partition: str = "host",
+                 downloader=None):
+        super().__init__(images_ref, web_cfg, round_idx, fail_mod,
+                         verify_decode, downloader=downloader)
         self.router = LinkRouter(shard_handles, filter_cfg, num_parts,
                                  seen_partition=seen_partition)
         self.archive_dir = archive_dir
@@ -480,7 +459,7 @@ class WaveWorkerPool(WaveWorker):
 
     def process(self, batch: pa.Table, round_idx: int) -> dict:
         self.round_idx = round_idx
-        if self.web.cfg.html:
+        if self.dl.html_mode:
             t = self(batch)
         else:
             t = self._process_direct(batch)
@@ -505,19 +484,16 @@ class WaveWorkerPool(WaveWorker):
         hosts = batch["host"].to_pylist()
         depths = batch["depth"].to_pylist()
         n = len(urls)
-        img_idx, links, disallowed = self.web.page_batch(urls, hosts)
-        if self.fail_mod:
-            failed = (hash64_batch(["fail::" + u for u in urls])
-                      % np.uint64(self.fail_mod)) == 0
-        else:
-            failed = np.zeros(n, dtype=bool)
-        ok = ~(disallowed | failed)
+        dl = self.dl
+        pb = dl.fetch_batch(urls, hosts)
+        err_kinds = np.asarray(pb.error_kind, dtype=object)
+        ok = err_kinds == ""
+        img_idx = pb.payload_idx
         if self.verify_decode:
             for i in np.nonzero(ok)[0]:
                 if not self._verify(int(img_idx[i])):
                     ok[i] = False
-                    disallowed[i] = False
-                    failed[i] = False  # mark as decode error below
+                    err_kinds[i] = "DecodeError"
         dl_ms = (time.perf_counter() - t_all0) * 1000.0
 
         t0 = time.perf_counter()
@@ -530,13 +506,13 @@ class WaveWorkerPool(WaveWorker):
                 "host": pa.array([hosts[i] for i in ok_idx], pa.string()),
                 "round": pa.array([self.round_idx] * len(ok_idx), pa.int32()),
                 "depth": pa.array([depths[i] for i in ok_idx], pa.int32()),
-                "image_id": [self.image_id[j] for j in gi],
-                "bytes": pa.array([self.blob[j] for j in gi], pa.binary()),
-                "w": pa.array([self.w[j] for j in gi], pa.int32()),
-                "h": pa.array([self.h[j] for j in gi], pa.int32()),
-                "fmt": [self.fmt[j] for j in gi],
-                "caption": [self.caption[j] for j in gi],
-                "phash": pa.array([self.phash[j] for j in gi], pa.int64()),
+                "image_id": [dl.image_id[j] for j in gi],
+                "bytes": pa.array([dl.blob[j] for j in gi], pa.binary()),
+                "w": pa.array([dl.w[j] for j in gi], pa.int32()),
+                "h": pa.array([dl.h[j] for j in gi], pa.int32()),
+                "fmt": [dl.fmt[j] for j in gi],
+                "caption": [dl.caption[j] for j in gi],
+                "phash": pa.array([dl.phash[j] for j in gi], pa.int64()),
             })
             t_build = time.perf_counter() - t0
             append_fragment(
@@ -552,9 +528,7 @@ class WaveWorkerPool(WaveWorker):
                       file=sys.stderr, flush=True)
         bad_idx = np.nonzero(~ok)[0]
         if len(bad_idx):
-            kinds = ["RobotsDisallowed" if disallowed[i]
-                     else ("NetworkError" if failed[i] else "DecodeError")
-                     for i in bad_idx]
+            kinds = [err_kinds[i] for i in bad_idx]
             append_fragment(
                 pa.table({
                     "url": pa.array([urls[i] for i in bad_idx], pa.string()),
@@ -569,7 +543,7 @@ class WaveWorkerPool(WaveWorker):
 
         err_marks = ["" if ok[i] else "x" for i in range(n)]
         summary = self.router.route_pages(
-            urls, [""] * n, [links[i] if ok[i] else [] for i in range(n)],
+            urls, [""] * n, [pb.links[i] if ok[i] else [] for i in range(n)],
             err_marks, self.round_idx + 1, dl_ms,
         )
         return summary.set_column(

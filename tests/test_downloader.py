@@ -1,0 +1,162 @@
+"""The Downloader seam (stages/downloader.py): Fetcher driven through a fake
+resolver, HTTP skeleton status classification, and wall-clock politeness.
+Mirrors the reference's downloader trait boundary (traits.rs:46-48,
+downloader.rs:26-41). Pure-Python — no Ray session needed."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scraper_ray.stages.downloader import (
+    Downloader, HTTPDownloader, PageBatch, SynthWebDownloader,
+)
+from scraper_ray.stages.fetch import FETCH_SCHEMA, Fetcher
+
+
+def _batch(urls):
+    hosts = [u.split("/")[2] for u in urls]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "host": pa.array(hosts, pa.string()),
+        "depth": pa.array([0] * len(urls), pa.int32()),
+    })
+
+
+class FakeHtmlDownloader(Downloader):
+    """Minimal html-mode resolver: one canned payload, one canned page."""
+
+    html_mode = True
+
+    def __init__(self):
+        self.image_id = ["imgA"]
+        self.blob = [b"\x01\x02"]
+        self.w, self.h = [2], [1]
+        self.fmt, self.caption, self.phash = ["png"], ["cap"], [7]
+
+    def fetch_one(self, url):
+        if url.endswith("/404"):
+            return "InvalidPage", -1, ""
+        return "", 0, '<html><a href="http://a.example/x">x</a></html>'
+
+
+class FakeDirectDownloader(FakeHtmlDownloader):
+    """Direct-mode resolver exercising the vectorized Fetcher path."""
+
+    html_mode = False
+
+    def fetch_batch(self, urls, hosts):
+        errs = ["NetworkError" if u.endswith("/down") else "" for u in urls]
+        idx = np.array([-1 if e else 0 for e in errs], dtype=np.int64)
+        links = [[] if e else ["http://a.example/next"] for e in errs]
+        return PageBatch(idx, links, errs)
+
+
+def test_fetcher_through_fake_html_resolver():
+    f = Fetcher(downloader=FakeHtmlDownloader())
+    out = f(_batch(["http://a.example/ok", "http://a.example/404"]))
+    assert out.schema.equals(FETCH_SCHEMA)
+    assert out["error_kind"].to_pylist() == ["", "InvalidPage"]
+    assert out["image_id"].to_pylist() == ["imgA", None]
+    assert out["bytes"].to_pylist() == [b"\x01\x02", None]
+    assert out["body"][0].as_py().startswith("<html>")
+    assert out["body"][1].as_py() == ""
+
+
+def test_fetcher_through_fake_direct_resolver():
+    f = Fetcher(downloader=FakeDirectDownloader())
+    out = f(_batch(["http://a.example/ok", "http://a.example/down"]))
+    assert out.schema.equals(FETCH_SCHEMA)
+    assert out["error_kind"].to_pylist() == ["", "NetworkError"]
+    assert out["links"].to_pylist() == [["http://a.example/next"], []]
+    assert out["caption"].to_pylist() == ["cap", None]
+
+
+def test_synthweb_downloader_batch_matches_scalar():
+    """fetch_batch and fetch_one agree row-for-row (incl. injected failures)."""
+    from scraper_ray.sources.fixtures import build_images_table
+
+    images = build_images_table(8)
+    dl = SynthWebDownloader(images, {"html": False}, fail_mod=3)
+    urls = [f"http://site{i}.example.com/p/{i}" for i in range(20)]
+    hosts = [u.split("/")[2] for u in urls]
+    pb = dl.fetch_batch(urls, hosts)
+    dl_html = SynthWebDownloader(images, {"html": True}, fail_mod=3)
+    for i, u in enumerate(urls):
+        err, idx, _body = dl_html.fetch_one(u)
+        assert err == pb.error_kind[i], u
+        if not err:
+            assert idx == pb.payload_idx[i], u
+
+
+class CannedHTTP(HTTPDownloader):
+    def __init__(self, responses, **kw):
+        super().__init__(**kw)
+        self.responses = responses
+        self.calls = []
+
+    def _get(self, url):
+        self.calls.append(url)
+        r = self.responses[url]
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def test_http_downloader_status_classification():
+    urls = ["http://h.example/a", "http://h.example/b", "http://h.example/c",
+            "http://h.example/d", "http://h.example/img"]
+    d = CannedHTTP(
+        {
+            urls[0]: (200, "text/html", b"<html></html>"),
+            urls[1]: (503, "text/html", b""),
+            urls[2]: (404, "text/html", b""),
+            urls[3]: ConnectionError("boom"),
+            urls[4]: (200, "image/png", b"\x89PNG"),
+        },
+        rate_per_sec=1000.0, burst=1000.0,
+        clock=lambda: 0.0, sleep=lambda s: None,
+    )
+    pb = d.fetch_batch(urls, ["h.example"] * len(urls))
+    assert pb.error_kind == ["", "ServerError", "InvalidPage", "NetworkError", ""]
+    # ok rows got payload handles into the batch-local store
+    assert pb.payload_idx[0] == 0 and pb.payload_idx[4] == 1
+    assert d.blob[1] == b"\x89PNG" and d.fmt[1] == "image/png"
+    # error rows carry no payload
+    assert all(pb.payload_idx[i] == -1 for i in (1, 2, 3))
+
+
+def test_http_downloader_paces_per_host():
+    """Requests beyond the burst wait on the wall-clock token bucket."""
+    t = [0.0]
+    sleeps = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        t[0] += s
+
+    urls = [f"http://h.example/{i}" for i in range(5)]
+    d = CannedHTTP({u: (200, "text/html", b"") for u in urls},
+                   rate_per_sec=1.0, burst=2.0, clock=clock, sleep=sleep)
+    d.fetch_batch(urls, ["h.example"] * 5)
+    assert len(d.calls) == 5
+    # burst of 2 free, then ~1s of simulated wait per request
+    assert len(sleeps) > 0 and t[0] >= 2.9
+
+
+def test_http_downloader_socket_is_a_stub():
+    d = HTTPDownloader(clock=lambda: 0.0, sleep=lambda s: None)
+    with pytest.raises(NotImplementedError):
+        d.fetch_one("http://x.example/")
+
+
+def test_fetch_one_html_honors_robots_and_failmod():
+    from scraper_ray.sources.fixtures import build_images_table
+
+    images = build_images_table(4)
+    dl = SynthWebDownloader(images, {"html": True}, fail_mod=0)
+    # find a disallowed url via the synthetic robots rules
+    f = Fetcher(downloader=dl)
+    assert f.dl is dl and f.web is dl.web
