@@ -200,6 +200,105 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# 3b. multi-way join (TPC-H q5 shape): two CHAINED large-large bucketed
+#     exchanges (orders⋈customer on custkey, then lineitem⋈that on orderkey)
+#     with the three small dims (region, nation, supplier) broadcast — the
+#     canonical mixed join topology at scale: shuffle only what's large,
+#     broadcast what's small, pre-aggregate before every exchange.
+
+def q_regional_revenue(sf_dir: str, region_name: str = "ASIA"):
+    import ray
+    from ray.data.aggregate import Sum
+
+    # broadcast sides: nation⋈region filter + names, supplier→nation map
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rkeys = set(region.loc[region["r_name"] == region_name, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nation_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    nation_ref = ray.put(nation_name)
+
+    # exchange 1: orders ⋈ customer on custkey (both large at scale) —
+    # customer is pre-filtered to the region's nations before it moves
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(nation_name), pa.int64())
+        return t.filter(pc.is_in(t["c_nationkey"].cast(pa.int64()), value_set=keys))
+
+    o_schema = pa.schema([pa.field("o_orderkey", pa.int64()),
+                          pa.field("o_custkey", pa.int64())])
+    o_nat = _bucket_attach(
+        orders, o_schema, cust.map_batches(cust_filter, batch_format="pyarrow"),
+        "c_custkey", "c_nationkey", "o_custkey", "c_nationkey", pa.int64(),
+    ).map_batches(lambda df: df.dropna(subset=["c_nationkey"])
+                  [["o_orderkey", "c_nationkey"]].astype("int64"),
+                  batch_format="pandas")
+
+    # exchange 2: lineitem (partial-aggregated per (orderkey, suppkey)) ⋈
+    # the order→nation map on orderkey
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        price_c = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        disc_c = np.rint(df["l_discount"] * 100).astype("int64")
+        df["revenue_c4"] = price_c * (100 - disc_c)
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["revenue_c4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_schema = pa.schema([pa.field("l_orderkey", pa.int64()),
+                           pa.field("l_suppkey", pa.int64()),
+                           pa.field("revenue_c4", pa.int64())])
+    li_nat = _bucket_attach(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        li_schema, o_nat, "o_orderkey", "c_nationkey",
+        "l_orderkey", "c_nationkey", pa.int64(),
+    )
+
+    # broadcast supplier map: keep rows where the supplier's nation equals
+    # the customer's nation; pre-aggregate per nation before the tiny groupby
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(supp_nation_ref)
+        names = ray.get(nation_ref)
+        df = df.dropna(subset=["c_nationkey"])
+        df = df.assign(c_nationkey=df["c_nationkey"].astype("int64"))
+        s_nat = df["l_suppkey"].map(sn)
+        df = df[s_nat.values == df["c_nationkey"].values]
+        if len(df) == 0:
+            return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                                 "revenue_c4": pd.Series([], dtype="int64")})
+        out = df.assign(n_name=df["c_nationkey"].map(names)).groupby(
+            "n_name", as_index=False)["revenue_c4"].sum()
+        return out
+
+    df = (li_nat.map_batches(finish, batch_format="pandas")
+          .groupby("n_name")
+          .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+          .to_pandas())
+    df["revenue_c4"] = df["revenue_c4"].astype("int64")
+    return df
+
+
+Q_REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. anti-join vs a broadcast key set — the crawl engine's cull_known (J1)
 #    expressed over testdata (reference rmqredis.rs:267-290)
 
@@ -1080,7 +1179,7 @@ def q_multimodal_image_stats(sf_dir: str):
     real in-repo codecs end-to-end through Ray Data."""
     import ray.data as rd
     from ..sources.fixtures import build_images_table
-    from ..stages.multimodal import DecodeImages, ImageFeatures
+    from ..stages.multimodal import DecodeImages
     from ray.data.aggregate import Count, Sum
 
     import pyarrow.parquet as pq
@@ -1089,12 +1188,10 @@ def q_multimodal_image_stats(sf_dir: str):
     captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
     images = build_images_table(48, captions=captions)
     ds = rd.from_arrow(images)
-    feats = (
-        ds.map_batches(DecodeImages, batch_format="pyarrow", batch_size=16,
-                       concurrency=2)
-        .map_batches(ImageFeatures, batch_format="pyarrow", batch_size=16,
-                     concurrency=2)
-    )
+    # single fused decode+features stage: each blob is decoded once
+    feats = ds.map_batches(DecodeImages, batch_format="pyarrow", batch_size=16,
+                           concurrency=2,
+                           fn_constructor_kwargs={"compute_features": True})
 
     def to_stats(t: pa.Table) -> pa.Table:
         ok = pc.cast(t["decode_ok"], pa.int64())
@@ -1126,6 +1223,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_building_orders,
     "priority_revenue_join": q_priority_revenue,
+    "regional_revenue_q5": q_regional_revenue,
     "cull_known_anti_join": q_cull_known,
     "lang_source_counts": q_lang_source_counts,
     "top_lineitems": q_top_lineitems,
@@ -1152,6 +1250,7 @@ ORACLE_SQL = {
     "pricing_summary": Q_PRICING_SQL,
     "top_building_orders": Q_TOP_BUILDING_SQL,
     "priority_revenue_join": Q_PRIORITY_REVENUE_SQL,
+    "regional_revenue_q5": Q_REGIONAL_REVENUE_SQL,
     "cull_known_anti_join": Q_CULL_SQL,
     "lang_source_counts": Q_LANG_SOURCE_SQL,
     "top_lineitems": Q_TOP_LINEITEMS_SQL,

@@ -48,44 +48,66 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 class DecodeImages:
     """bytes+fmt → decoded stats/pixels. ``emit_pixels=False`` (default)
     attaches per-image decode stats only — shipping raw pixel tensors through
-    the object store is reserved for consumers that need them."""
+    the object store is reserved for consumers that need them.
 
-    def __init__(self, emit_pixels: bool = False):
+    ``compute_features=True`` fuses :class:`ImageFeatures`'s per-image
+    features (phash / mean_rgb / contrast) into the same pass, so each blob
+    is decoded ONCE — at media scale decode dominates the stage cost, and a
+    separate features stage re-decoding every blob doubles it."""
+
+    def __init__(self, emit_pixels: bool = False,
+                 compute_features: bool = False):
         self.emit_pixels = emit_pixels
+        self.compute_features = compute_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         ok, mean_lum, decode_err = [], [], []
         pixels = []
+        ph, means, stds = [], [], []
         for blob, fmt in zip(blobs, fmts):
+            px = None
             if blob is None:
                 ok.append(False)
                 mean_lum.append(None)
                 decode_err.append("null")
-                pixels.append(None)
-                continue
-            try:
-                px = _decode_any(blob, fmt)
-                ok.append(True)
-                mean_lum.append(float(px.astype(np.float64).mean()))
-                decode_err.append("")
-                pixels.append(px.tobytes() if self.emit_pixels else None)
-            except NotImplementedError:
-                ok.append(False)
-                mean_lum.append(None)
-                decode_err.append(f"stub:{fmt}")
-                pixels.append(None)
-            except Exception as e:  # corrupt blob → per-row error, not a crash
-                ok.append(False)
-                mean_lum.append(None)
-                decode_err.append(f"error:{type(e).__name__}")
-                pixels.append(None)
+            else:
+                try:
+                    px = _decode_any(blob, fmt)
+                    ok.append(True)
+                    mean_lum.append(float(px.astype(np.float64).mean()))
+                    decode_err.append("")
+                except NotImplementedError:
+                    px = None
+                    ok.append(False)
+                    mean_lum.append(None)
+                    decode_err.append(f"stub:{fmt}")
+                except Exception as e:  # corrupt blob → per-row error
+                    px = None
+                    ok.append(False)
+                    mean_lum.append(None)
+                    decode_err.append(f"error:{type(e).__name__}")
+            pixels.append(px.tobytes() if (self.emit_pixels and px is not None)
+                          else None)
+            if self.compute_features:
+                if px is None:
+                    ph.append(None)
+                    means.append(None)
+                    stds.append(None)
+                else:
+                    ph.append(codec.phash(px))
+                    means.append(float(px.mean()))
+                    stds.append(float(px.astype(np.float64).mean(axis=2).std()))
         out = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
         out = out.append_column("mean_luminance", pa.array(mean_lum, pa.float64()))
         out = out.append_column("decode_err", pa.array(decode_err, pa.string()))
         if self.emit_pixels:
             out = out.append_column("pixels_rgb8", pa.array(pixels, pa.binary()))
+        if self.compute_features:
+            out = out.append_column("phash_computed", pa.array(ph, pa.int64()))
+            out = out.append_column("mean_rgb", pa.array(means, pa.float64()))
+            out = out.append_column("contrast", pa.array(stds, pa.float64()))
         return out
 
 
@@ -120,14 +142,37 @@ class ResizeImages:
 
 class ImageFeatures:
     """Per-image features for dedup/quality: phash (64-bit average hash),
-    mean RGB, contrast (stddev of luminance)."""
+    mean RGB, contrast (stddev of luminance).
+
+    Prefer ``DecodeImages(compute_features=True)`` when a decode stage is
+    already in the pipeline — it computes these in the same decode pass. As
+    a standalone stage this consumes ``pixels_rgb8`` (from
+    ``DecodeImages(emit_pixels=True)``) when present, decoding only as the
+    fallback, so chaining the two stages never decodes a blob twice."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
         ph, means, stds = [], [], []
-        for blob, fmt in zip(blobs, fmts):
-            px = _decode_any(blob, fmt)
+        if "pixels_rgb8" in batch.column_names:
+            pix = batch["pixels_rgb8"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            images = (
+                None if buf is None else
+                np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+                for buf, w, h in zip(pix, ws, hs)
+            )
+        else:
+            images = (
+                _decode_any(blob, fmt)
+                for blob, fmt in zip(batch["bytes"].to_pylist(),
+                                     batch["fmt"].to_pylist())
+            )
+        for px in images:
+            if px is None:
+                ph.append(None)
+                means.append(None)
+                stds.append(None)
+                continue
             ph.append(codec.phash(px))
             lum = px.astype(np.float64).mean(axis=2)
             means.append(float(px.mean()))

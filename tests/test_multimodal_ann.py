@@ -51,6 +51,31 @@ def test_image_features_phash_matches_lossless():
             assert out["phash_computed"][i].as_py() == out["phash"][i].as_py()
 
 
+def test_fused_features_decode_once(monkeypatch):
+    """DecodeImages(compute_features=True) produces ImageFeatures' columns
+    with exactly ONE decode per blob (counting codec shim); chaining
+    emit_pixels → ImageFeatures also decodes once (pixels passthrough)."""
+    t = build_images_table(9)
+    calls = {"n": 0}
+    real_decode = codec.decode
+
+    def counting_decode(blob, fmt):
+        calls["n"] += 1
+        return real_decode(blob, fmt)
+
+    monkeypatch.setattr(codec, "decode", counting_decode)
+
+    fused = DecodeImages(compute_features=True)(t)
+    assert calls["n"] == 9  # one decode per image, features included
+    two_stage = ImageFeatures()(DecodeImages(emit_pixels=True)(t))
+    assert calls["n"] == 18  # +9 only: ImageFeatures consumed the pixels
+    for col in ("phash_computed", "mean_rgb", "contrast"):
+        assert fused[col].to_pylist() == two_stage[col].to_pylist()
+    # and both agree with the standalone decode-fallback ImageFeatures
+    standalone = ImageFeatures()(t)
+    assert fused["phash_computed"].to_pylist() == standalone["phash_computed"].to_pylist()
+
+
 def test_video_stub_contract():
     with pytest.raises(NotImplementedError):
         SampleVideoFrames()(pa.table({"video_id": ["v"], "bytes": [b"x"]}))
