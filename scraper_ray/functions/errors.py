@@ -53,3 +53,80 @@ def outcome_of(error_kind: str) -> str:
     if not error_kind:
         return OK
     return CLASSIFICATION.get(error_kind, ("?", ERR, ""))[1]
+
+
+# ---------------------------------------------------------------------------
+# ScraperError hierarchy: the reference's per-stage error structs with
+# source-chaining and Display parity (`errors.rs:39-47,186-233`). The five
+# stage enums and their kind→outcome From<> impls (`errors.rs:89-183`):
+
+#: stage → {kind: outcome}
+STAGE_KINDS: dict[str, dict[str, str]] = {
+    "Manager": {"NetworkError": REJECT, "UnreachableError": REJECT,
+                "InvalidTask": ERR},
+    "Download": {"NetworkError": REJECT, "UnreachableError": REJECT,
+                 "InvalidURL": ERR, "InvalidPage": ERR},
+    "Extract": {"ParsingError": ERR},
+    "Normalise": {"ParsingError": ERR},
+    "Archive": {"NetworkError": REJECT, "UnreachableError": REJECT,
+                "ServerError": REJECT, "InvalidData": ERR},
+}
+
+
+class ScraperError(Exception):
+    """Base error: kind + message + optional source, formatted exactly as the
+    reference's ``Display`` impl (`errors.rs:186-204`):
+
+    - without source: ``"NetworkError: No internet"``
+    - with source: ``"ParsingError: Failed to parse (source: No header)"``
+
+    ``source`` may be any exception (nested ScraperErrors render their own
+    Display recursively, matching the Rust nested-error test at
+    `errors.rs:276-291`).
+    """
+
+    stage: str | None = None
+
+    def __init__(self, kind: str, msg: str, source: Exception | None = None):
+        if self.stage is not None and kind not in STAGE_KINDS[self.stage]:
+            raise ValueError(f"{kind!r} is not a {self.stage} error kind")
+        self.kind = kind
+        self.msg = msg
+        self.source = source
+        super().__init__(self._display())
+        if source is not None:
+            self.__cause__ = source  # native chaining alongside Display parity
+
+    def _display(self) -> str:
+        src = f" (source: {self.source})" if self.source is not None else ""
+        return f"{self.kind}: {self.msg}{src}"
+
+    def __str__(self) -> str:
+        return self._display()
+
+    @property
+    def outcome(self) -> str:
+        """Three-valued TaskProcessResult for this error (traits.rs:26-34)."""
+        if self.stage is not None:
+            return STAGE_KINDS[self.stage][self.kind]
+        return outcome_of(self.kind)
+
+
+class ManagerError(ScraperError):
+    stage = "Manager"
+
+
+class DownloadError(ScraperError):
+    stage = "Download"
+
+
+class ExtractError(ScraperError):
+    stage = "Extract"
+
+
+class NormaliseError(ScraperError):
+    stage = "Normalise"
+
+
+class ArchiveError(ScraperError):
+    stage = "Archive"

@@ -18,8 +18,8 @@ pinned by the reference's own tests (`worker/src/task.rs:71-117`):
 - invalid URLs (no scheme, bad host such as ``https://www.�.com``) are
   rejected (`task.rs:119-133`) — we return ``None`` and the caller drops them.
 
-Pure functions only — no Ray imports; the batch wrapper lives in
-stages/canonicalize.py.
+Pure functions only — no Ray imports; the batch wrapper is
+:func:`canonicalize_batch` in this module.
 """
 
 from __future__ import annotations
@@ -43,7 +43,16 @@ _QUERY_SAFE = _PATH_SAFE + "?"
 
 
 def _upper_triplets(s: str) -> str:
-    """``foo%2a`` → ``foo%2A`` (defaultnormaliser.rs:103-127)."""
+    """``foo%2a`` → ``foo%2A`` (defaultnormaliser.rs:103-127).
+
+    DELIBERATE divergence: the reference's counter logic uppercases the two
+    characters after EVERY ``%`` — including non-hex sequences such as
+    ``%zx`` → ``%ZX``, which are not percent-triplets at all. We uppercase
+    only valid hex triplets (the RFC 3986 §6.2.2.1 normalization); a non-hex
+    ``%`` sequence is left as-is and later re-encoded as a literal ``%25``.
+    The golden tests in tests/test_extract.py pin the triplet cases the two
+    implementations agree on.
+    """
     return _TRIPLET_RE.sub(lambda m: m.group(0).upper(), s)
 
 

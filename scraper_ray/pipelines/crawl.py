@@ -255,38 +255,29 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         if cfg.max_pages and pages_total >= cfg.max_pages:
             break
         t_round = time.perf_counter()
-        # 1. drain (politeness-budgeted, priority-ordered per shard)
+        # 1. drain (politeness-budgeted, priority-ordered per shard); each
+        # shard writes its own order fragment — the canonical GLOBAL wave
+        # order is derived at read time (read_order), so the driver neither
+        # sorts nor holds the concatenated wave (at 10^6 hosts the old
+        # driver-side concat+sort was the loop's hotspot)
         t0 = time.perf_counter()
         max_rows = cfg.max_wave_per_part or None
-        drained = ray.get([s.drain.remote(True, max_rows) for s in shards])
+        odir = _round_dir(order_dir, r)
+        if os.path.exists(odir):
+            shutil.rmtree(odir)  # idempotent replay after resume
+        os.makedirs(odir, exist_ok=True)
+        drained = ray.get([s.drain.remote(True, max_rows, odir, r)
+                           for s in shards])
         nonempty = [t for t in drained if t.num_rows]
-        wave = pa.concat_tables(nonempty) if nonempty else drained[0]
-        if wave.num_rows == 0:
+        wave_rows = sum(t.num_rows for t in nonempty)
+        if wave_rows == 0:
+            os.rmdir(odir)
             sizes = ray.get([s.frontier_size.remote() for s in shards])
             if sum(sizes) == 0:
                 break
             r += 1
             continue
-        # canonical deterministic wave order
-        order_idx = pa.compute.sort_indices(
-            wave,
-            sort_keys=[("priority", "descending"), ("host", "ascending"),
-                       ("url", "ascending")],
-        )
-        wave = wave.take(order_idx)
         receive_ms = (time.perf_counter() - t0) * 1000
-
-        pq.write_table(
-            pa.table(
-                {
-                    "url": wave["url"],
-                    "round": pa.array([r] * wave.num_rows, pa.int32()),
-                    "rank": pa.array(range(wave.num_rows), pa.int64()),
-                },
-                schema=ORDER_SCHEMA,
-            ),
-            os.path.join(_round_dir(order_dir, r) + ".parquet"),
-        )
 
         # 2-4. fused wave stage: fetch + archive-fragment write + link routing
         # in ONE actor-pool execution (image bytes never re-enter the object
@@ -296,14 +287,16 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             if os.path.exists(rdir):
                 shutil.rmtree(rdir)
         # adaptive chunking: ~2 chunks per pool worker (tail overlap without
-        # a per-batch shard-call storm); cfg.batch_size caps chunk rows
+        # a per-batch shard-call storm); cfg.batch_size caps chunk rows.
+        # Chunks are slices of the per-shard drained tables (each internally
+        # in canonical order) — results are chunk-boundary-insensitive by
+        # design (atomic seen-set, depth = round discovered), which the
+        # parity suite pins across parallelism and partitioning modes.
         bs = max(min(512, cfg.batch_size),
                  min(cfg.batch_size,
-                     -(-wave.num_rows // (2 * cfg.fetch_concurrency))))
-        nchunks = max(1, -(-wave.num_rows // bs))
-        step = (wave.num_rows + nchunks - 1) // nchunks
-        chunks = [wave.slice(i * step, step) for i in range(nchunks)
-                  if i * step < wave.num_rows]
+                     -(-wave_rows // (2 * cfg.fetch_concurrency))))
+        chunks = [t.slice(off, bs)
+                  for t in nonempty for off in range(0, t.num_rows, bs)]
         futs = [workers[i % len(workers)].process.remote(c, r)
                 for i, c in enumerate(chunks)]
         summaries = ray.get(futs)
@@ -334,7 +327,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         pages_total += int(agg["pages"])
         row = {
             "round": r,
-            "wave_rows": wave.num_rows,
+            "wave_rows": wave_rows,
             "receive_ms": receive_ms,
             "finishing_ms": (time.perf_counter() - t_round) * 1000,
             **{k: (int(v) if not k.endswith("_ms") else v) for k, v in agg.items()},
@@ -444,13 +437,36 @@ def read_archive(out_dir: str) -> pa.Table:
 
 
 def read_order(out_dir: str) -> pa.Table:
+    """Canonical per-round wave order (url, round, rank), derived at read
+    time from the per-part fragments the shards write during drain. The sort
+    by ``(round, -priority, host, url)`` happens HERE, over whatever subset
+    the reader asks for — never on the crawl driver's hot loop."""
     base = os.path.join(out_dir, "order")
-    files = sorted(
-        os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
-    )
-    if not files:
+    tables = []
+    for name in sorted(os.listdir(base)):
+        d = os.path.join(base, name)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(d, f)))
+    if not tables:
         return pa.table({"url": [], "round": [], "rank": []}, schema=ORDER_SCHEMA)
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    t = pa.concat_tables(tables)
+    idx = pa.compute.sort_indices(
+        t,
+        sort_keys=[("round", "ascending"), ("priority", "descending"),
+                   ("host", "ascending"), ("url", "ascending")],
+    )
+    t = t.take(idx)
+    rounds = t["round"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, np.diff(rounds) != 0])
+    counts = np.diff(np.r_[starts, len(rounds)])
+    rank = np.arange(len(rounds), dtype=np.int64) - np.repeat(starts, counts)
+    return pa.table(
+        {"url": t["url"], "round": t["round"], "rank": pa.array(rank)},
+        schema=ORDER_SCHEMA,
+    )
 
 
 def dump_seen(shards) -> list[str]:

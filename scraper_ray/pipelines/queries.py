@@ -1150,7 +1150,11 @@ def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
             idx = np.nonzero(probe_mask)[0]
             if len(idx) == 0:
                 continue
-            order = idx[np.argsort(-sims[qi][idx], kind="stable")][:k]
+            # rank by ROUNDED similarity with vec_id tiebreak — the same
+            # ordering the global merge applies, so results cannot vary
+            # with block partitioning at rounded-sim ties (see _ann_partials)
+            r6 = np.round(sims[qi][idx], 6)
+            order = idx[np.lexsort((vids[idx], -r6))][:k]
             rows["query_id"].extend([qid] * len(order))
             rows["neighbor_id"].extend(vids[order].tolist())
             rows["sim"].extend(np.round(sims[qi][order], 6).tolist())

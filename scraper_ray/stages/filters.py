@@ -10,6 +10,13 @@ Filter lists are read line-per-entry, trimmed (`filter.rs:93-105`).
 Two call styles: a scalar predicate (oracle / per-page paths) and a
 vectorized pyarrow mask for ``map_batches`` stages. Lists are tiny — they are
 broadcast by closure capture, never shuffled.
+
+DELIBERATE divergence: empty (blank-line) entries are dropped at
+construction. The reference keeps trimmed blank lines, and since the empty
+string is a substring of every host, ONE blank line in a blacklist file
+silently blocks the entire crawl (every host matches) — we treat that as a
+footgun, not a feature; an explicit match-everything entry is still
+expressible (e.g. ``.``).
 """
 
 from __future__ import annotations

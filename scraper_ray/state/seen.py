@@ -217,6 +217,12 @@ class SeenSet:
             self.mode = "exact"
             self._set = set(st["urls"])
             return
+        if not hasattr(self, "bloom"):
+            # instance was constructed in exact mode: build the filters lazily
+            # — their geometry is entirely rebuilt from the restored arrays
+            # below, so the constructor capacity is irrelevant
+            self.bloom = BloomFilter(1 << 10, 0.01)
+            self.cuckoo = CuckooFilter(1 << 10)
         self.mode = "approx"
         self.bloom.bits = np.asarray(st["bloom_bits"], dtype=np.uint64)
         self.bloom.m = int(st["bloom_m"])

@@ -178,13 +178,21 @@ class StateShard:
         )
 
     # -- drain --------------------------------------------------------------
-    def drain(self, refill: bool = True, max_rows: int | None = None) -> pa.Table:
+    def drain(self, refill: bool = True, max_rows: int | None = None,
+              order_sink: str | None = None,
+              round_idx: int = 0) -> pa.Table:
         """One politeness-budgeted wave drain, deterministic order.
 
         Each host's token bucket is refilled by ``rate`` (capped at ``burst``)
         once per wave; ``floor(tokens)`` URLs per host are released, highest
         priority first (ties by url). Returned table is sorted by
         ``(-priority, host, url)`` — the engine's canonical wave order.
+
+        ``order_sink``: directory to write this shard's order fragment into
+        (``part=NNNN.parquet`` with the sort keys). The canonical GLOBAL wave
+        order is derived from the fragments at read time
+        (``pipelines.crawl.read_order``) — the shards each sort their own
+        slice in parallel and the driver never concat+sorts the wave.
         """
         if self._spill_files:
             # fold spill back in before ANY drain: spilled rows may outrank
@@ -223,7 +231,7 @@ class StateShard:
                 del self.pending[host]
         rows.sort(key=lambda r: (-r[0], r[1], r[2]))
         self.drained_total += len(rows)
-        return pa.table(
+        out = pa.table(
             {
                 "url": [r[2] for r in rows],
                 "host": [r[1] for r in rows],
@@ -232,6 +240,17 @@ class StateShard:
             },
             schema=FRONTIER_SCHEMA,
         )
+        if order_sink is not None and out.num_rows:
+            pq.write_table(
+                pa.table({
+                    "url": out["url"],
+                    "host": out["host"],
+                    "priority": out["priority"],
+                    "round": pa.array([round_idx] * out.num_rows, pa.int32()),
+                }),
+                os.path.join(order_sink, f"part={self.part:04d}.parquet"),
+            )
+        return out
 
     def frontier_size(self) -> int:
         return self.pending_count + self._spilled_rows

@@ -79,3 +79,16 @@ def test_seen_state_roundtrip_exact_and_approx():
         s2.load_state_dict(st)
         rep = s2.check_and_insert(urls, h)
         assert not rep.any(), mode
+
+
+def test_seen_state_load_across_modes():
+    """An approx-mode state dict restores onto an exact-constructed instance
+    (filters built lazily; geometry comes from the restored arrays)."""
+    s = SeenSet("approx", capacity=10_000)
+    urls = [f"http://x{i}.test/" for i in range(500)]
+    h = hash64_batch(urls)
+    s.check_and_insert(urls, h)
+    s2 = SeenSet("exact", capacity=10_000)
+    s2.load_state_dict(s.state_dict())
+    assert s2.mode == "approx"
+    assert not s2.check_and_insert(urls, h).any()
