@@ -59,6 +59,53 @@ class MinHasher:
     def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
 
+    # -- batch (vectorized) variants — bit-identical to the scalar paths ----
+
+    def signatures_batch(self, shingle_sets: list) -> np.ndarray:
+        """uint64[(ndocs, num_perm)], row i == ``signature(shingle_sets[i])``.
+
+        One ``hash64_batch`` over ALL documents' shingles concatenated, one
+        vectorized mix, per-document min via ``np.minimum.reduceat`` — the
+        per-document Python loop was the dominant sigs-stage cost (0.7ms/doc
+        measured), not the hashing itself.
+        """
+        ndocs = len(shingle_sets)
+        out = np.full((ndocs, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        all_sh: list[str] = []
+        offsets: list[int] = []
+        doc_idx: list[int] = []
+        pos = 0
+        for i, s in enumerate(shingle_sets):
+            if s:
+                # no sort: min over the mixed hashes is order-independent
+                all_sh.extend(s)
+                offsets.append(pos)
+                doc_idx.append(i)
+                pos += len(s)
+        if not all_sh:
+            return out
+        h = hash64_batch(all_sh)
+        with np.errstate(over="ignore"):
+            v = h[None, :] ^ self.seeds[:, None]  # (num_perm, total_shingles)
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            v = v ^ (v >> np.uint64(31))
+        mins = np.minimum.reduceat(v, np.asarray(offsets), axis=1)
+        out[np.asarray(doc_idx)] = mins.T
+        return out
+
+    def band_hashes_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """uint64[(ndocs, bands)], row i == ``band_hashes(sigs[i])``."""
+        s = sigs.reshape(len(sigs), self.nbands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            out = np.full((len(sigs), self.nbands), 0xCBF29CE484222325,
+                          dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for r in range(self.rows_per_band):
+                out = (out ^ s[:, :, r]) * prime
+        return out
+
 
 def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     """64-bit SimHash over token hashes (optionally weighted)."""
@@ -80,6 +127,35 @@ def simhash_text(text: str) -> int:
     if not toks:
         return 0
     return simhash(hash64_batch(toks))
+
+
+def simhash_batch(texts: list) -> np.ndarray:
+    """uint64[ndocs], element i == ``simhash_text(texts[i])`` — one
+    ``hash64_batch`` over all tokens, per-document bit-score sums via
+    ``np.add.reduceat`` (the scalar path builds a bits matrix per doc)."""
+    all_toks: list[str] = []
+    offsets: list[int] = []
+    doc_idx: list[int] = []
+    pos = 0
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        if toks:
+            all_toks.extend(toks)
+            offsets.append(pos)
+            doc_idx.append(i)
+            pos += len(toks)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not all_toks:
+        return out
+    h = hash64_batch(all_toks)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    score = np.add.reduceat(bits * 2 - 1, np.asarray(offsets), axis=0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    packed = ((score > 0).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
+    out[np.asarray(doc_idx)] = packed
+    return out
 
 
 def hamming64(a: int, b: int) -> int:
