@@ -479,39 +479,53 @@ def dump_seen(shards) -> list[str]:
     return sorted(out)
 
 
-def main(argv=None) -> None:
-    """CLI entry for ``ray job submit -- python -m scraper_ray.pipelines.crawl …``.
+def _env_default(name: str, default, cast=str):
+    """CLI > env > default option layering, mirroring the reference CLI
+    (every clap option carries ``.env("SCRAPER_…")``,
+    `/root/reference/worker/src/main.rs:80-269`). Env var:
+    ``SCRAPER_RAY_<NAME>``; used as the argparse default so an explicit
+    flag always wins."""
+    raw = os.environ.get(f"SCRAPER_RAY_{name}")
+    if raw is None or raw == "":
+        return default
+    if cast is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    return cast(raw)
 
-    Owns its Ray session (guarded — the driver-contract functions never init).
-    """
+
+def parse_cli(argv=None):
+    """Parse CLI args (with env fallback) into (CrawlConfig, resume flag)."""
     import argparse
-    import json as _json
 
+    ed = _env_default
     p = argparse.ArgumentParser(description="Ray-Data crawl engine")
-    p.add_argument("--out", required=True, help="output directory")
-    p.add_argument("--seeds", help="file with one seed URL per line")
-    p.add_argument("--rounds", type=int, default=8)
-    p.add_argument("--parts", type=int, default=16)
-    p.add_argument("--rate", type=float, default=2.0)
-    p.add_argument("--burst", type=float, default=4.0)
-    p.add_argument("--hosts", type=int, default=40)
-    p.add_argument("--degree", type=int, default=8)
-    p.add_argument("--images", type=int, default=256)
-    p.add_argument("--seen-mode", choices=["exact", "approx"], default="approx")
+    p.add_argument("--out", default=ed("OUT", None),
+                   help="output directory (env SCRAPER_RAY_OUT)")
+    p.add_argument("--seeds", default=ed("SEEDS", None),
+                   help="file with one seed URL per line")
+    p.add_argument("--rounds", type=int, default=ed("ROUNDS", 8, int))
+    p.add_argument("--parts", type=int, default=ed("PARTS", 16, int))
+    p.add_argument("--rate", type=float, default=ed("RATE", 2.0, float))
+    p.add_argument("--burst", type=float, default=ed("BURST", 4.0, float))
+    p.add_argument("--hosts", type=int, default=ed("HOSTS", 40, int))
+    p.add_argument("--degree", type=int, default=ed("DEGREE", 8, int))
+    p.add_argument("--images", type=int, default=ed("IMAGES", 256, int))
+    p.add_argument("--seen-mode", choices=["exact", "approx"],
+                   default=ed("SEEN_MODE", "approx"))
     p.add_argument("--filter-mode", choices=["none", "black", "white"],
-                   default="none")
-    p.add_argument("--filter-file", help="host-substring list, one per line")
-    p.add_argument("--concurrency", type=int, default=8)
-    p.add_argument("--resume", action="store_true")
+                   default=ed("FILTER_MODE", "none"))
+    p.add_argument("--filter-file", default=ed("FILTER_FILE", None),
+                   help="host-substring list, one per line")
+    p.add_argument("--concurrency", type=int,
+                   default=ed("CONCURRENCY", 8, int))
+    p.add_argument("--resume", action="store_true",
+                   default=ed("RESUME", False, bool))
     p.add_argument("--no-html", action="store_true",
+                   default=ed("NO_HTML", False, bool),
                    help="direct link mode (bench/scale)")
     args = p.parse_args(argv)
-
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+    if not args.out:
+        p.error("--out (or SCRAPER_RAY_OUT) is required")
 
     entries = []
     if args.filter_file:
@@ -530,7 +544,25 @@ def main(argv=None) -> None:
         filter_mode=args.filter_mode, filter_entries=entries,
         fetch_concurrency=args.concurrency,
     )
-    res = run_crawl(cfg, resume=args.resume)
+    return cfg, args.resume
+
+
+def main(argv=None) -> None:
+    """CLI entry for ``ray job submit -- python -m scraper_ray.pipelines.crawl …``.
+
+    Owns its Ray session (guarded — the driver-contract functions never init).
+    """
+    import json as _json
+
+    cfg, resume = parse_cli(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    res = run_crawl(cfg, resume=resume)
     res.pop("_shards", None)
     res.pop("metrics", None)
     print(_json.dumps(res, default=str))

@@ -134,6 +134,28 @@ def test_metrics_sidecar_written(tmp_path):
         assert field in t.column_names, field
 
 
+def test_cli_env_fallback_layering(monkeypatch, tmp_path):
+    """CLI > env > default, mirroring the reference CLI's per-option
+    .env(...) layering (main.rs:80-269)."""
+    from scraper_ray.pipelines.crawl import parse_cli
+
+    # default (no env, no flag)
+    cfg, resume = parse_cli(["--out", str(tmp_path)])
+    assert cfg.max_rounds == 8 and cfg.num_parts == 16 and not resume
+    # env overrides default
+    monkeypatch.setenv("SCRAPER_RAY_ROUNDS", "3")
+    monkeypatch.setenv("SCRAPER_RAY_SEEN_MODE", "exact")
+    monkeypatch.setenv("SCRAPER_RAY_NO_HTML", "true")
+    monkeypatch.setenv("SCRAPER_RAY_OUT", str(tmp_path / "envout"))
+    cfg, _ = parse_cli([])
+    assert cfg.max_rounds == 3 and cfg.seen_mode == "exact"
+    assert cfg.html is False
+    assert cfg.out_dir == str(tmp_path / "envout")
+    # explicit flag beats env
+    cfg, _ = parse_cli(["--out", str(tmp_path), "--rounds", "5"])
+    assert cfg.max_rounds == 5 and cfg.out_dir == str(tmp_path)
+
+
 def test_error_outcome_mapping():
     assert outcome_of("") == OK
     assert outcome_of("NetworkError") == REJECT
