@@ -30,6 +30,36 @@ def _read(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _hash_aggregate(ds, keys, agg_spec, num_parts: int = 64):
+    """High-cardinality grouped aggregation as ONE coarse exchange.
+
+    Ray's sort-based ``groupby().aggregate()`` spends ~160µs of per-group
+    overhead (measured: 6.5s for 40k (user, day) groups of 100k rows), which
+    dominates whenever groups are numerous and small. Here rows are hashed
+    on the key tuple into P partitions and each partition aggregates with a
+    vectorized pandas groupby — P Python calls total, same single all-to-all
+    exchange. Use Ray's native aggregate for low-cardinality keys (its
+    result ordering and types are unaffected; callers sort anyway).
+
+    ``agg_spec``: pandas named-agg dict, e.g. ``{"n": ("x", "sum")}``.
+    """
+    keys = list(keys)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        pk = (pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+              % num_parts)
+        df = df.copy()
+        df["_pkey"] = pk.astype("int32")
+        return df
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(**agg_spec)
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(agg, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # 1. grouped aggregation with partial pre-aggregation (reference A1 funnel-
 #    count style sums, at TPC-H q1 shape)
@@ -388,13 +418,11 @@ def q_events_daily(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value_milli", alias_name="sum_value_milli"))
+    out = _hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "day"],
+        {"n_events": ("n_events", "sum"),
+         "sum_value_milli": ("sum_value_milli", "sum")},
     )
     df = out.to_pandas()
     df["n_events"] = df["n_events"].astype("int64")
@@ -680,7 +708,6 @@ def q_dedup_exact(sf_dir: str):
     instead of full document bodies. Collision probability at 2^128 is
     ~n²/2^129 (≈1e-21 at a billion docs) — the in-group member is the min
     doc_id per hash, matching GROUP BY text byte-for-byte in practice."""
-    from ray.data.aggregate import Min
     from ..functions.hashing import hash64_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -695,9 +722,10 @@ def q_dedup_exact(sf_dir: str):
             "h2": pa.array(h2.view(np.int64)),
         })
 
-    out = (ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
-           .groupby(["h1", "h2"])
-           .aggregate(Min("doc_id", alias_name="doc_id")))
+    out = _hash_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536),
+        ["h1", "h2"], {"doc_id": ("doc_id", "min")},
+    )
     df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
