@@ -441,6 +441,101 @@ FROM events GROUP BY user_id, date_trunc('day', ts)
 
 
 # ---------------------------------------------------------------------------
+# 7b. hopping (sliding) window aggregate: 7-day windows advancing daily.
+#     Each daily partial expands into the 7 windows containing it inside
+#     map_batches (bounded 7× fan-out of already-aggregated rows), then one
+#     hash-partitioned exchange — no per-window shuffle, no sort.
+
+def q_hopping_window(sf_dir: str, window_days: int = 7):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def daily_expand(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        df = pa.table({"user_id": t["user_id"], "day": day,
+                       "value": t["value"]}).to_pandas()
+        df["value_milli"] = np.rint(df["value"] * 1000).astype("int64")
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            n_events=("value_milli", "size"),
+            sum_value_milli=("value_milli", "sum"))
+        # expand: day d contributes to windows starting d-6 .. d
+        reps = pd.concat(
+            [g.assign(win_start=g["day"] - pd.Timedelta(days=k))
+             for k in range(window_days)],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            reps[["user_id", "win_start", "n_events", "sum_value_milli"]],
+            preserve_index=False)
+
+    out = _hash_aggregate(
+        ds.map_batches(daily_expand, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "win_start"],
+        {"n_events": ("n_events", "sum"),
+         "sum_value_milli": ("sum_value_milli", "sum")},
+    )
+    df = out.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value_milli"] = df["sum_value_milli"].astype("int64")
+    df["win_start"] = df["win_start"].astype("datetime64[us]")
+    return df
+
+
+Q_HOPPING_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+wins AS (
+  SELECT user_id, day - o * INTERVAL '1 day' AS win_start, n, s
+  FROM daily CROSS JOIN (SELECT unnest(range(7)) AS o))
+SELECT user_id, win_start, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(s) AS BIGINT) AS sum_value_milli
+FROM wins GROUP BY user_id, win_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7c. windowed rank / argmax-per-key (row_number() = 1 shape) at HIGH key
+#     cardinality: per-batch vectorized top-1 per customer, one bucketed
+#     exchange of the survivors, same kernel per partition. No global sort,
+#     no per-key Python group.
+
+def q_top_order_per_cust(sf_dir: str, num_parts: int = 64):
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        return df.drop_duplicates("o_custkey")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = top1(df)
+        out = df.copy()
+        out["_pkey"] = (out["o_custkey"] % num_parts).astype("int32")
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+           .groupby("_pkey")
+           .map_groups(lambda g: top1(g[["o_custkey", "o_orderkey",
+                                         "o_totalprice"]]),
+                       batch_format="pandas"))
+    df = out.to_pandas().sort_values("o_custkey").reset_index(drop=True)
+    df["o_totalprice"] = df["o_totalprice"].round(4)
+    return df
+
+
+Q_TOP_ORDER_PER_CUST_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # 8. session windows (30-min inactivity gap) per user — sorted map_groups,
 #    the ordered-log pattern for stream-shaped semantics
 
@@ -1283,6 +1378,8 @@ QUERIES = {
     "lang_source_counts": q_lang_source_counts,
     "top_lineitems": q_top_lineitems,
     "events_daily": q_events_daily,
+    "hopping_window": q_hopping_window,
+    "top_order_per_cust": q_top_order_per_cust,
     "sessionize": q_sessionize,
     "source_blacklist": q_source_blacklist,
     "dedup_exact": q_dedup_exact,
@@ -1310,6 +1407,8 @@ ORACLE_SQL = {
     "lang_source_counts": Q_LANG_SOURCE_SQL,
     "top_lineitems": Q_TOP_LINEITEMS_SQL,
     "events_daily": Q_EVENTS_DAILY_SQL,
+    "hopping_window": Q_HOPPING_SQL,
+    "top_order_per_cust": Q_TOP_ORDER_PER_CUST_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "source_blacklist": Q_SOURCE_BLACKLIST_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
