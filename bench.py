@@ -156,7 +156,8 @@ def main() -> None:
 
 
 SCALE_LO, SCALE_HI = 4, 16  # N vs 4N cores (3 vs 12 fetch workers)
-SCALE_REPS = 3
+# best-of-N per level (quietest steal window); raise via env on noisy days
+SCALE_REPS = int(os.environ.get("SCALE_REPS", "3"))
 
 
 def _read_steal() -> int:

@@ -539,19 +539,31 @@ FROM r WHERE rn = 1
 # 8. session windows (30-min inactivity gap) per user — sorted map_groups,
 #    the ordered-log pattern for stream-shaped semantics
 
-def q_sessionize(sf_dir: str):
+def q_sessionize(sf_dir: str, num_parts: int = 64):
+    """Session windows per user, computed per PARTITION not per user: users
+    are hashed into P partitions; inside each, one sort + vectorized
+    gap/boundary detection covers every user at once (a map_groups per user
+    is one Python call per key — the per-group-overhead trap at scale)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
-        new_session = (gaps.isna()) | (gaps > pd.Timedelta(minutes=30))
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "n_sessions": [int(new_session.sum())]}
-        )
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (df["user_id"] % num_parts).astype("int32")
+        return df
 
-    df = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > pd.Timedelta(minutes=30))
+        out = (g.assign(_n=new_session.astype("int64"))
+               .groupby("user_id", as_index=False)["_n"].sum()
+               .rename(columns={"_n": "n_sessions"}))
+        return out
+
+    df = (ds.map_batches(tag, batch_format="pandas")
+          .groupby("_pkey")
+          .map_groups(sessions, batch_format="pandas")
+          .to_pandas())
     df["n_sessions"] = df["n_sessions"].astype("int64")
     return df
 
@@ -1119,31 +1131,42 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     return _pairs_to_df(verified)
 
 
-def q_asof_last_click(sf_dir: str):
+def q_asof_last_click(sf_dir: str, num_parts: int = 64):
     """As-of join (an operator Ray Data lacks natively): for each purchase
-    event, the user's most recent click at-or-before it — per-user sorted
-    ``merge_asof`` inside ``map_groups`` (partition by key, order by time)."""
+    event, the user's most recent click at-or-before it. Users are hashed
+    into P partitions (co-locating each user's rows); inside each, ONE
+    ``pd.merge_asof(..., by="user_id")`` covers every user vectorized —
+    not a Python call per user."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (df["user_id"] % num_parts).astype("int32")
+        return df
+
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        # drop duplicate purchase timestamps: the SQL oracle GROUPs BY
-        # (user_id, ts), collapsing them to one row
-        p = (g[g["event_type"] == "purchase"].sort_values("ts")
-             .drop_duplicates("ts"))
-        c = g[g["event_type"] == "click"].sort_values("ts")
+        # drop duplicate purchase timestamps per user: the SQL oracle
+        # GROUPs BY (user_id, ts), collapsing them to one row
+        p = (g[g["event_type"] == "purchase"][["user_id", "ts"]]
+             .drop_duplicates(["user_id", "ts"]).sort_values("ts"))
+        c = (g[g["event_type"] == "click"][["user_id", "ts"]]
+             .rename(columns={"ts": "click_ts"}).sort_values("click_ts"))
         if len(p) == 0:
             return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
                                  "purchase_ts": pd.Series([], dtype="datetime64[us]"),
                                  "last_click_ts": pd.Series([], dtype="datetime64[us]")})
-        m = pd.merge_asof(p[["ts"]], c[["ts"]].rename(columns={"ts": "click_ts"}),
-                          left_on="ts", right_on="click_ts", direction="backward")
+        m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
+                          by="user_id", direction="backward")
         return pd.DataFrame({
-            "user_id": pd.Series([g["user_id"].iloc[0]] * len(m), dtype="int64"),
+            "user_id": m["user_id"].astype("int64"),
             "purchase_ts": m["ts"].values,
             "last_click_ts": m["click_ts"].values,
         })
 
-    df = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    df = (ds.map_batches(tag, batch_format="pandas")
+          .groupby("_pkey")
+          .map_groups(asof, batch_format="pandas")
+          .to_pandas())
     return df
 
 
