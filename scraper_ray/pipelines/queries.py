@@ -135,13 +135,20 @@ def q_top_building_orders(sf_dir: str):
         mask = pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref))
         return t.filter(mask)
 
+    def flt_topk(t: pa.Table) -> pa.Table:
+        # partial top-k per batch: a global sort for a top-10 moves every
+        # row through an all-to-all; partials shrink each batch to ≤10 rows
+        # and the driver merges nbatches×10 rows
+        t = flt(t)
+        idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx[:10])
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    out = (
-        ds.map_batches(flt, batch_format="pyarrow")
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
-    )
-    df = out.to_pandas()[["o_orderkey", "o_totalprice"]]
+    parts = ds.map_batches(flt_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+    df = parts[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
     df["o_totalprice"] = df["o_totalprice"].round(4)
     return df
 
@@ -383,13 +390,23 @@ Q_LANG_SOURCE_SQL = "SELECT lang, source, count(*) AS n FROM documents GROUP BY 
 # 6. global sort + limit (top-k)
 
 def q_top_lineitems(sf_dir: str):
+    """Global top-k WITHOUT a global sort: per-batch partial top-15 (the
+    only rows that can survive), tiny driver merge of nbatches×15 rows."""
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_extendedprice"])
-    out = ds.sort(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        descending=[True, False, False],
-    ).limit(15)
-    df = out.to_pandas()
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("l_extendedprice", "descending"),
+                          ("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])
+        return t.take(idx[:15])
+
+    parts = ds.map_batches(topk, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    df = (parts.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                            ascending=[False, True, True])
+          .head(15).reset_index(drop=True))
     df["l_extendedprice"] = df["l_extendedprice"].round(4)
     return df
 
