@@ -132,6 +132,33 @@ def fingerprint(text: str, window: int = 8) -> int:
     return best
 
 
+def fingerprint_batch(texts: list, window: int = 8) -> np.ndarray:
+    """uint64[ndocs], element i == ``fingerprint(texts[i])`` — all windows
+    of all documents hashed in one ``hash64_batch`` call with per-document
+    mins via ``np.minimum.reduceat`` (the scalar path pays one Python
+    ``hash64`` per window)."""
+    from .hashing import hash64_batch
+
+    all_w: list[str] = []
+    offsets: list[int] = []
+    step = max(1, window // 2)
+    pos = 0
+    for t in texts:
+        if len(t) <= window:
+            all_w.append(t)
+            offsets.append(pos)
+            pos += 1
+        else:
+            ws = [t[j:j + window] for j in range(0, len(t) - window + 1, step)]
+            all_w.extend(ws)
+            offsets.append(pos)
+            pos += len(ws)
+    if not all_w:
+        return np.zeros(0, dtype=np.uint64)
+    h = hash64_batch(all_w)
+    return np.minimum.reduceat(h, np.asarray(offsets))
+
+
 def word_shingles(text: str, k: int = 3) -> set[str]:
     toks = text.lower().split()
     if len(toks) < k:

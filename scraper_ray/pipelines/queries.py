@@ -1272,19 +1272,20 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """64-bit rolling-window fingerprints per document (stored as int64)."""
-    from ..functions.textstats import fingerprint
+    """64-bit rolling-window fingerprints per document (stored as int64);
+    batch kernel — one hash call for all windows of the batch."""
+    from ..functions.textstats import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
-        vals = [fingerprint(x) for x in t["text"].to_pylist()]
+        vals = fingerprint_batch(t["text"].to_pylist())
         return pa.table({
             "doc_id": t["doc_id"],
-            "fingerprint": pa.array(np.array(vals, dtype=np.uint64).view(np.int64)),
+            "fingerprint": pa.array(vals.view(np.int64)),
         })
 
-    return ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=1024).to_pandas()
 
 
 def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,

@@ -45,6 +45,13 @@ def test_simhash_batch_matches_scalar():
     assert hamming64(int(got[0]), int(got[4])) == 0
 
 
+def test_fingerprint_batch_matches_scalar():
+    from scraper_ray.functions.textstats import fingerprint, fingerprint_batch
+
+    got = fingerprint_batch(TEXTS)
+    assert got.tolist() == [fingerprint(t) for t in TEXTS]
+
+
 def test_hamming64_batch_matches_scalar():
     rng = np.random.Generator(np.random.PCG64(3))
     a = rng.integers(0, 1 << 63, size=50, dtype=np.uint64)
