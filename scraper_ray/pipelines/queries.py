@@ -635,7 +635,8 @@ LSH_BUCKET_CAP = 1024
 
 def _lsh_candidates(banded_ds, band_col: str = "band",
                     hash_col: str = "band_hash", extra_col: str | None = None,
-                    pair_filter=None, num_parts: int = 64):
+                    pair_filter=None, num_parts: int = 64,
+                    bucket_cap: int | None = None):
     """(doc_id, band, band_hash) rows → candidate (id_a, id_b) pairs.
 
     ONE coarse exchange: rows are tagged ``pkey = mix(band, hash) % P`` so
@@ -655,6 +656,7 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
     ``pair_filter(vals_a, vals_b)`` (vectorized bool mask) — in-bucket
     verification for families whose check needs no payload join.
     """
+    cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
 
     def tag(t: pa.Table) -> pa.Table:
         b = t[band_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -681,15 +683,15 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
         for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
             ids = d[s:e]  # already sorted; one row per (band, doc)
             vals = ev[s:e] if ev is not None else None
-            if len(ids) > LSH_BUCKET_CAP:
+            if len(ids) > cap:
                 import logging
 
                 logging.getLogger("scraper_ray.lsh").warning(
                     "LSH bucket overflow: %d members > cap %d; keeping first "
-                    "%d (sorted ids)", len(ids), LSH_BUCKET_CAP, LSH_BUCKET_CAP)
-                ids = ids[:LSH_BUCKET_CAP]
+                    "%d (sorted ids)", len(ids), cap, cap)
+                ids = ids[:cap]
                 if vals is not None:
-                    vals = vals[:LSH_BUCKET_CAP]
+                    vals = vals[:cap]
             ia, ib = np.triu_indices(len(ids), 1)
             if pair_filter is not None:
                 keep = pair_filter(vals[ia], vals[ib])

@@ -70,6 +70,44 @@ def test_rows_only_queries_run(name):
     pd.testing.assert_frame_equal(_norm(out), _norm(out2))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_bucket_cap_bounds_pair_explosion():
+    """A degenerate bucket (many identical docs) is truncated to the cap —
+    pair output is O(cap²), not O(members²) — and capping is deterministic
+    (sorted ids kept first)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scraper_ray.pipelines.queries import _lsh_candidates
+
+    n = 40
+    banded = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "band": pa.array([0] * n, pa.int32()),
+        "band_hash": pa.array([12345] * n, pa.uint64()),
+    }))
+    pairs = _lsh_candidates(banded, bucket_cap=10).to_pandas()
+    assert len(pairs) == 45  # C(10,2), not C(40,2)=780
+    kept_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert kept_ids == set(range(10))  # sorted-prefix, deterministic
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_candidates_empty_and_singletons():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scraper_ray.pipelines.queries import _lsh_candidates
+
+    banded = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "band": pa.array([0, 0, 0], pa.int32()),
+        "band_hash": pa.array([1, 2, 3], pa.uint64()),  # all singleton buckets
+    }))
+    pairs = _lsh_candidates(banded).to_pandas()
+    assert len(pairs) == 0
+
+
 def test_lang_id_detector_on_real_text():
     """The testdata ``lang`` labels are random (all rows share the same
     English-ish vocabulary), so accuracy-vs-label is not meaningful there;
