@@ -288,15 +288,21 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
                 shutil.rmtree(rdir)
         # adaptive chunking: ~2 chunks per pool worker (tail overlap without
         # a per-batch shard-call storm); cfg.batch_size caps chunk rows.
-        # Chunks are slices of the per-shard drained tables (each internally
-        # in canonical order) — results are chunk-boundary-insensitive by
-        # design (atomic seen-set, depth = round discovered), which the
-        # parity suite pins across parallelism and partitioning modes.
+        # The per-shard tables are concatenated ZERO-COPY (chunked arrays —
+        # no sort, no row copies; the canonical order lives in the order
+        # fragments) purely so chunk sizes divide the wave evenly: slicing
+        # shard-by-shard left workers with 2-vs-3 unequal chunks and the
+        # round barrier waiting on stragglers (measured ~12% at 16 cores).
+        # Results are chunk-boundary-insensitive by design (atomic seen-set,
+        # depth = round discovered), pinned by the parity suite.
+        wave = pa.concat_tables(nonempty)
         bs = max(min(512, cfg.batch_size),
                  min(cfg.batch_size,
                      -(-wave_rows // (2 * cfg.fetch_concurrency))))
-        chunks = [t.slice(off, bs)
-                  for t in nonempty for off in range(0, t.num_rows, bs)]
+        nchunks = max(1, -(-wave_rows // bs))
+        step = (wave_rows + nchunks - 1) // nchunks
+        chunks = [wave.slice(i * step, step) for i in range(nchunks)
+                  if i * step < wave_rows]
         futs = [workers[i % len(workers)].process.remote(c, r)
                 for i, c in enumerate(chunks)]
         summaries = ray.get(futs)

@@ -651,12 +651,17 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
     deterministically (sorted ids) with a logged drop — one degenerate
     bucket (e.g. a massive exact-dup cluster) must not emit O(b²) pairs.
 
-    ``extra_col``/``pair_filter``: optionally carry a per-row uint64 column
-    (e.g. the full simhash) and keep only pairs where
-    ``pair_filter(vals_a, vals_b)`` (vectorized bool mask) — in-bucket
-    verification for families whose check needs no payload join.
+    ``extra_col``/``pair_filter``: optionally carry per-row uint64 columns
+    (a str, e.g. the full simhash, or a list of str, e.g. a packed
+    multi-word sketch) and keep only pairs where
+    ``pair_filter(vals_a, vals_b)`` (vectorized bool mask; vals are 1-D for
+    a single column, (npairs, ncols) for a list) — in-bucket verification
+    or prefiltering for families whose check needs no payload join.
     """
     cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    extra_list = ([extra_col] if isinstance(extra_col, str)
+                  else list(extra_col or []))
+    single_extra = isinstance(extra_col, str)
 
     def tag(t: pa.Table) -> pa.Table:
         b = t[band_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -669,8 +674,9 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
         b = g[band_col].to_numpy().astype(np.int64)
         h = g[hash_col].to_numpy().astype(np.uint64)
         d = g["doc_id"].to_numpy().astype(np.int64)
-        ev = (g[extra_col].to_numpy().astype(np.uint64)
-              if extra_col is not None else None)
+        ev = (np.column_stack([g[c].to_numpy().astype(np.uint64)
+                               for c in extra_list])
+              if extra_list else None)
         order = np.lexsort((d, h, b))
         b, h, d = b[order], h[order], d[order]
         if ev is not None:
@@ -694,7 +700,10 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
                     vals = vals[:cap]
             ia, ib = np.triu_indices(len(ids), 1)
             if pair_filter is not None:
-                keep = pair_filter(vals[ia], vals[ib])
+                va, vb = vals[ia], vals[ib]
+                if single_extra:
+                    va, vb = va[:, 0], vb[:, 0]
+                keep = pair_filter(va, vb)
                 ia, ib = ia[keep], ib[keep]
             a_out.append(ids[ia])
             b_out.append(ids[ib])
@@ -989,9 +998,21 @@ def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5,
     for r=4, b=32, and higher at realistic near-dup thresholds ~0.9).
     """
     import ray.data as rd
+    from ..functions.sketches import hamming64_batch
 
     emb_file = f"{sf_dir}/embeddings.parquet"
     nbits = rows_per_band * num_bands
+    assert nbits % 64 == 0
+    nwords = nbits // 64
+    # sketch-hamming prefilter: the FULL nbits sketch rides along into the
+    # buckets (nwords uint64 columns); pairs whose sketch disagreement
+    # implies cosine far below the threshold are dropped BEFORE the vector
+    # join. At cos 0.5 the hyperplane-LSH band gap vs background is weak
+    # (p=0.667 vs 0.5 — most pairs become candidates); the 128-bit estimate
+    # has std ~5.5 bits, so T = 0.44·nbits keeps a cos-0.5 pair with ~99%
+    # probability while rejecting ~97% of background pairs. Exact cosine
+    # verification follows, so precision is unaffected.
+    ham_T = int(0.44 * nbits)
 
     def sigs(t: pa.Table) -> pa.Table:
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
@@ -1005,16 +1026,31 @@ def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5,
         packed = bits.reshape(len(vids), num_bands, rows_per_band)
         weights = (1 << np.arange(rows_per_band)).astype(np.int64)
         band_vals = (packed * weights).sum(axis=2)  # (n, bands)
+        wordbits = bits.reshape(len(vids), nwords, 64)
+        w64 = (wordbits.astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, None, :]).sum(
+                   axis=2, dtype=np.uint64)  # (n, nwords)
         n = len(vids)
-        return pa.table({
+        cols = {
             "doc_id": pa.array(np.repeat(vids, num_bands)),
             "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
             "band_hash": pa.array(band_vals.reshape(-1)),
-        })
+        }
+        for w in range(nwords):
+            cols[f"sk{w}"] = pa.array(np.repeat(w64[:, w], num_bands))
+        return pa.table(cols)
+
+    def sketch_close(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        ham = np.zeros(len(a), dtype=np.int64)
+        for w in range(nwords):
+            ham += hamming64_batch(a[:, w], b[:, w])
+        return ham <= ham_T
 
     emb = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
     cand = _lsh_candidates(
-        emb.map_batches(sigs, batch_format="pyarrow", batch_size=4096))
+        emb.map_batches(sigs, batch_format="pyarrow", batch_size=4096),
+        extra_col=[f"sk{w}" for w in range(nwords)],
+        pair_filter=sketch_close)
 
     vec_type = pa.list_(pa.float32())
     lut = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
