@@ -496,7 +496,13 @@ def _env_default(name: str, default, cast=str):
         return default
     if cast is bool:
         return raw.strip().lower() in ("1", "true", "yes", "on")
-    return cast(raw)
+    try:
+        return cast(raw)
+    except ValueError:
+        raise SystemExit(
+            f"error: invalid SCRAPER_RAY_{name}={raw!r}: "
+            f"expected {cast.__name__}"
+        )
 
 
 def parse_cli(argv=None):
@@ -532,6 +538,11 @@ def parse_cli(argv=None):
     args = p.parse_args(argv)
     if not args.out:
         p.error("--out (or SCRAPER_RAY_OUT) is required")
+    # argparse validates choices= only for supplied flags, not env defaults
+    if args.seen_mode not in ("exact", "approx"):
+        p.error(f"invalid seen-mode {args.seen_mode!r} (exact|approx)")
+    if args.filter_mode not in ("none", "black", "white"):
+        p.error(f"invalid filter-mode {args.filter_mode!r} (none|black|white)")
 
     entries = []
     if args.filter_file:

@@ -994,8 +994,15 @@ def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5,
     of r bits; groupby band buckets → capped candidate pairs → distinct →
     embeddings joined on via the bucketed exchange → exact cosine verify
     inside ``map_batches``. Verification is exact, so precision matches the
-    SQL oracle; recall is 1-(1-p^r)^b with p = 1-θ/π (≥0.999 at cos 0.51
-    for r=4, b=32, and higher at realistic near-dup thresholds ~0.9).
+    SQL oracle; recall is probabilistic over the FIXED seed: a pair fails
+    only if it collides in no band (1-(1-p^r)^b with p = 1-θ/π; ~0.09% at
+    cos 0.51 for r=4, b=32) or its 128-bit sketch disagreement exceeds the
+    prefilter T=0.44·nbits (~0.6% at cos 0.50; mean 42.7, σ 5.3 bits) —
+    ~0.7% combined per borderline pair, ≈0 above cos 0.6. Oracle
+    hash-parity is pinned at sf0.001/0.01/0.1 (every qualifying pair
+    found); the residual near-threshold recall risk is inherent to
+    sketch-based near-dup when the threshold sits this close to the
+    background similarity.
     """
     import ray.data as rd
     from ..functions.sketches import hamming64_batch

@@ -125,9 +125,14 @@ class HTTPDownloader(Downloader):
     """Real-network downloader skeleton (`downloader.rs:26-41` parity).
 
     Wall-clock politeness: one :class:`WallClockTokenBucket` per actor paces
-    requests per host before each GET — host-affine batch routing guarantees
-    a single Fetcher owns each host's bucket (SURVEY.md §4.1), so the bucket
-    needs no cross-actor coordination.
+    requests per host before each GET. The bucket is PER ACTOR: the crawl
+    driver assigns wave chunks round-robin (a host's URLs can land on
+    several workers in a wave), so a deployment must either (a) set
+    ``rate_per_sec = host_rate / fetch_concurrency``, or (b) route chunks
+    host-affine before relying on a full per-host rate. The engine's
+    *semantic* politeness (``rate`` URLs released per host per wave in
+    ``StateShard.drain``) bounds the global per-host request rate
+    independently of this wall-clock layer.
 
     The socket layer (``_get``) raises ``NotImplementedError`` in this
     sandbox (no network); a deployment overrides it with an HTTP client
@@ -177,6 +182,10 @@ class HTTPDownloader(Downloader):
     def fetch_one(self, url: str):
         from ..functions.urlnorm import host_of
 
+        # handles are valid until the next fetch_one/fetch_batch call — the
+        # Fetcher consumes payload columns immediately; without this reset a
+        # long-lived html-mode actor would accumulate every downloaded body
+        self._reset_payloads()
         self.bucket.acquire(host_of(url), sleep=self._sleep)
         try:
             status, ctype, body = self._get(url)

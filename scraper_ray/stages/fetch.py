@@ -102,7 +102,12 @@ class Fetcher:
         for i in range(n):
             url = urls[i]
             err, idx, body = dl.fetch_one(url)
-            if not err and self.verify_decode and not self._verify(idx):
+            # idx < 0 = page resolved ok but carries no payload (e.g. an
+            # HTML body with no stored resource) — never index the store
+            # with it: Python's negative indexing would silently attach
+            # ANOTHER page's payload
+            has_payload = not err and idx >= 0
+            if has_payload and self.verify_decode and not self._verify(idx):
                 err = "DecodeError"
             if err:
                 cols["error_kind"].append(err)
@@ -112,13 +117,13 @@ class Fetcher:
                 cols["links"].append([])
                 continue
             cols["error_kind"].append("")
-            cols["image_id"].append(dl.image_id[idx])
-            cols["bytes"].append(dl.blob[idx])
-            cols["w"].append(dl.w[idx])
-            cols["h"].append(dl.h[idx])
-            cols["fmt"].append(dl.fmt[idx])
-            cols["caption"].append(dl.caption[idx])
-            cols["phash"].append(dl.phash[idx])
+            cols["image_id"].append(dl.image_id[idx] if has_payload else None)
+            cols["bytes"].append(dl.blob[idx] if has_payload else None)
+            cols["w"].append(dl.w[idx] if has_payload else None)
+            cols["h"].append(dl.h[idx] if has_payload else None)
+            cols["fmt"].append(dl.fmt[idx] if has_payload else None)
+            cols["caption"].append(dl.caption[idx] if has_payload else None)
+            cols["phash"].append(dl.phash[idx] if has_payload else None)
             # direct (non-html) mode returned via _call_vectorized above
             cols["body"].append(body)
             cols["links"].append([])

@@ -153,10 +153,61 @@ def test_http_downloader_socket_is_a_stub():
 
 
 def test_fetch_one_html_honors_robots_and_failmod():
+    from scraper_ray.functions.hashing import hash64
     from scraper_ray.sources.fixtures import build_images_table
 
     images = build_images_table(4)
-    dl = SynthWebDownloader(images, {"html": True}, fail_mod=0)
-    # find a disallowed url via the synthetic robots rules
+    dl = SynthWebDownloader(images, {"html": True}, fail_mod=2)
     f = Fetcher(downloader=dl)
     assert f.dl is dl and f.web is dl.web
+
+    # find one disallowed URL (robots blocks /private/ on some hosts) and
+    # one fail-injected URL via the same rules the downloader applies
+    urls = ([f"http://site{i}.example.com/private/{i}" for i in range(50)]
+            + [f"http://site{i}.example.com/p/{i}" for i in range(50)])
+    robots_url = next(u for u in urls if dl.web.is_disallowed(u))
+    fail_url = next(u for u in urls if not dl.web.is_disallowed(u)
+                    and hash64("fail::" + u) % 2 == 0)
+    ok_url = next(u for u in urls if not dl.web.is_disallowed(u)
+                  and hash64("fail::" + u) % 2 != 0)
+    assert dl.fetch_one(robots_url)[0] == "RobotsDisallowed"
+    assert dl.fetch_one(fail_url)[0] == "NetworkError"
+    err, idx, body = dl.fetch_one(ok_url)
+    assert err == "" and idx >= 0 and body.startswith("<!DOCTYPE html>")
+
+
+def test_fetcher_html_page_without_payload_gets_none_columns():
+    """A resolver returning ('', -1, body) — ok page, no stored payload
+    (e.g. a real-HTTP HTML response) — must produce None payload columns,
+    never index the store with -1 (which would attach another page's
+    payload via negative indexing)."""
+
+    class HtmlOnly(FakeHtmlDownloader):
+        def fetch_one(self, url):
+            return "", -1, "<html><body>no image here</body></html>"
+
+    f = Fetcher(downloader=HtmlOnly())
+    out = f(_batch(["http://a.example/page"]))
+    assert out["error_kind"].to_pylist() == [""]
+    assert out["image_id"].to_pylist() == [None]
+    assert out["bytes"].to_pylist() == [None]
+    assert out["body"][0].as_py().startswith("<html>")
+
+    # and with verify_decode on, a payload-less ok page must not be
+    # decode-verified (there is nothing to verify)
+    f2 = Fetcher(downloader=HtmlOnly(), verify_decode=True)
+    out2 = f2(_batch(["http://a.example/page"]))
+    assert out2["error_kind"].to_pylist() == [""]
+
+
+def test_http_downloader_payload_store_resets_per_fetch():
+    """fetch_one must not accumulate payloads across calls (long-lived
+    html-mode actors would otherwise grow without bound)."""
+    urls = [f"http://h.example/img{i}" for i in range(5)]
+    d = CannedHTTP({u: (200, "image/png", b"x" * 10) for u in urls},
+                   rate_per_sec=1000.0, burst=1000.0,
+                   clock=lambda: 0.0, sleep=lambda s: None)
+    for u in urls:
+        err, idx, _ = d.fetch_one(u)
+        assert err == "" and idx == 0  # fresh store every call
+    assert len(d.blob) == 1
