@@ -1452,6 +1452,15 @@ def q_multimodal_image_stats(sf_dir: str):
     return df
 
 
+def _q_corpus_clean_stats(sf_dir: str):
+    """Composed corpus-cleaning funnel (pipelines/corpus.py): features →
+    exact dedup → near-dup removal → quality filter. Rows-only check (the
+    near-dup stage is not SQL-expressible)."""
+    from .corpus import q_corpus_clean_stats
+
+    return q_corpus_clean_stats(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1482,6 +1491,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "corpus_clean_stats": _q_corpus_clean_stats,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,66 @@
+"""Composed corpus-cleaning pipeline (pipelines/corpus.py): funnel
+consistency, partitioned resumable output, determinism."""
+
+import json
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_clean_end_to_end(tmp_path):
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = str(tmp_path / "corpus")
+    stats = clean_corpus(SF_DIR, out)
+
+    # funnel is monotone and consistent
+    assert stats["n_input"] >= stats["n_after_exact_dedup"] >= stats["n_kept"]
+    assert stats["n_kept"] >= 0 and stats["n_near_dup_dropped"] >= 0
+
+    # exact-dedup stage matches SQL DISTINCT text
+    con = duckdb.connect()
+    n_distinct = con.execute(
+        f"SELECT count(DISTINCT text) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert stats["n_after_exact_dedup"] == n_distinct
+
+    # partitioned output sums to n_kept; stats sidecar written
+    total = 0
+    for d in sorted(os.listdir(out)):
+        if d.startswith("part="):
+            total += pq.read_metadata(os.path.join(out, d, "data.parquet")).num_rows
+    assert total == stats["n_kept"]
+    with open(os.path.join(out, "stats.json")) as f:
+        assert json.load(f)["n_kept"] == stats["n_kept"]
+
+    # every kept row passes the quality threshold; near-dup drop set removed
+    kept = pd.concat([
+        pq.read_table(os.path.join(out, d, "data.parquet")).to_pandas()
+        for d in sorted(os.listdir(out)) if d.startswith("part=")
+    ])
+    assert (kept["quality"] >= stats["min_quality"]).all()
+    from scraper_ray.pipelines.queries import q_minhash_near_dup
+
+    pairs = q_minhash_near_dup(SF_DIR)
+    assert not set(pairs["id_b"]) & set(kept["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_clean_resume_skips_finished_parts(tmp_path):
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = str(tmp_path / "corpus")
+    s1 = clean_corpus(SF_DIR, out)
+    mtimes = {d: os.path.getmtime(os.path.join(out, d, "data.parquet"))
+              for d in os.listdir(out) if d.startswith("part=")}
+    s2 = clean_corpus(SF_DIR, out)  # rerun over finished output
+    assert s2["n_kept"] == s1["n_kept"]
+    for d, m in mtimes.items():
+        # untouched: finished partitions were skipped, not rewritten
+        assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == m

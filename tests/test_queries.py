@@ -71,6 +71,22 @@ def test_rows_only_queries_run(name):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_finds_the_qualifying_pair_at_sf001():
+    """sf0.01 is the one scale with a qualifying pair near the threshold
+    (cos 0.5128): pin that the seeded LSH + sketch prefilter finds it and
+    matches the exact SQL oracle — the mini-driver above only runs
+    sf0.001, where the answer is empty."""
+    SF = "/root/testdata/sf0.01"
+    got = _norm(entrymod.queries()["embedding_near_dup"](SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = _norm(con.execute(entrymod.oracle_sql()["embedding_near_dup"]).df())
+    assert len(got) == len(exp) == 1
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lsh_bucket_cap_bounds_pair_explosion():
     """A degenerate bucket (many identical docs) is truncated to the cap —
     pair output is O(cap²), not O(members²) — and capping is deterministic
