@@ -146,8 +146,13 @@ def _seed_shards(cfg: CrawlConfig, shards, filt: HostFilter):
         if "futs" in r:
             inner.extend(r["futs"])
             total += r["culled"]
-        else:
+        elif "submitted" in r:
             total += r["submitted"]
+        else:
+            total += r["culled"]
+    if method == "check_and_route":
+        for r in ray.get([s.flush_forwards.remote() for s in shards]):
+            inner.extend(r["futs"])
     ray.get(inner)
     return total
 
@@ -320,14 +325,18 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
                 agg[k] += row[k]
         # resolve the non-blocking shard anti-join calls at the round barrier
         # (all inserts must land before the next drain); in url-partition
-        # mode there is a second level: the shard-to-shard frontier forwards
+        # mode there is a second level: the per-round BATCHED shard-to-shard
+        # frontier forwards, flushed once per (shard, peer) pair
         inner_futs = []
         for res in ray.get(shard_futs):
             agg["culled_links"] += res["culled"]
             if "futs" in res:
                 inner_futs.extend(res["futs"])
             else:
-                agg["submitted_links"] += res["submitted"]
+                agg["submitted_links"] += res.get("submitted", 0)
+        if cfg.seen_partition == "url":
+            for res in ray.get([s.flush_forwards.remote() for s in shards]):
+                inner_futs.extend(res["futs"])
         for res in ray.get(inner_futs):
             agg["submitted_links"] += res["submitted"]
         pages_total += int(agg["pages"])

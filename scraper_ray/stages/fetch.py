@@ -338,12 +338,19 @@ class LinkRouter:
                 )
             if self.blocking:
                 inner = []
+                touched = [int(p) for p in np.unique(parts)]
                 for res in ray.get(futs):
                     culled += res["culled"]
                     if "futs" in res:
                         inner.extend(res["futs"])
                     else:
-                        submitted += res["submitted"]
+                        submitted += res.get("submitted", 0)
+                if self.seen_partition == "url":
+                    # flush the touched shards' per-round forward buffers —
+                    # blocking mode has no round barrier to do it at
+                    for res in ray.get([self.shards[p].flush_forwards.remote()
+                                        for p in touched]):
+                        inner.extend(res["futs"])
                 for r2 in ray.get(inner):
                     submitted += r2["submitted"]
             else:
