@@ -86,6 +86,12 @@ class CrawlConfig:
     # execution
     fetch_concurrency: int = 4
     batch_size: int = 256
+    # 'balanced' (default): zero-copy concat + even slices — best wall-clock.
+    # 'host': chunks stay per-shard and each shard maps to a FIXED worker
+    # (part % nworkers), so one Fetcher owns every host of that partition
+    # across all rounds — required when a real-HTTP downloader's per-actor
+    # WallClockTokenBucket must be the global per-host politeness bound.
+    chunk_affinity: str = "balanced"
     checkpoint_every: int = 1
     fail_mod: int = 0
     verify_decode: bool = False  # per-row decode+PSNR invariant during fetch
@@ -220,7 +226,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         # Execution knobs (rounds, budgets, concurrency, batch size) may vary.
         _MUTABLE = {"max_rounds", "max_pages", "max_wave_per_part",
                     "fetch_concurrency", "batch_size", "checkpoint_every",
-                    "spill_threshold", "out_dir"}
+                    "spill_threshold", "out_dir", "chunk_affinity"}
         old_cfg = manifest.get("config", {})
         for k, v in dataclasses.asdict(cfg).items():
             if k in _MUTABLE or k not in old_cfg:
@@ -300,16 +306,31 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         # round barrier waiting on stragglers (measured ~12% at 16 cores).
         # Results are chunk-boundary-insensitive by design (atomic seen-set,
         # depth = round discovered), pinned by the parity suite.
-        wave = pa.concat_tables(nonempty)
         bs = max(min(512, cfg.batch_size),
                  min(cfg.batch_size,
                      -(-wave_rows // (2 * cfg.fetch_concurrency))))
-        nchunks = max(1, -(-wave_rows // bs))
-        step = (wave_rows + nchunks - 1) // nchunks
-        chunks = [wave.slice(i * step, step) for i in range(nchunks)
-                  if i * step < wave_rows]
-        futs = [workers[i % len(workers)].process.remote(c, r)
-                for i, c in enumerate(chunks)]
+        if cfg.chunk_affinity == "host":
+            # host-affine: shard p's slice always goes to worker p % W, so
+            # each worker's wall-clock token buckets own their hosts
+            # globally (the host→shard map is fixed). Chunks within a
+            # shard stay on that worker.
+            futs = []
+            for p, t in enumerate(drained):
+                if not t.num_rows:
+                    continue
+                w = workers[p % len(workers)]
+                k = max(1, -(-t.num_rows // bs))
+                step = -(-t.num_rows // k)
+                futs.extend(w.process.remote(t.slice(off, step), r)
+                            for off in range(0, t.num_rows, step))
+        else:
+            wave = pa.concat_tables(nonempty)
+            nchunks = max(1, -(-wave_rows // bs))
+            step = (wave_rows + nchunks - 1) // nchunks
+            chunks = [wave.slice(i * step, step) for i in range(nchunks)
+                      if i * step < wave_rows]
+            futs = [workers[i % len(workers)].process.remote(c, r)
+                    for i, c in enumerate(chunks)]
         summaries = ray.get(futs)
 
         agg = {k: 0.0 for k in (

@@ -128,6 +128,30 @@ def test_archive_per_row_invariants(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_host_affine_chunking_identical_results(tmp_path):
+    """chunk_affinity='host' (stable shard→worker mapping for wall-clock
+    politeness deployments) produces bit-identical crawl results to the
+    default balanced chunking."""
+    images = build_images_table(24)
+    bal = _cfg(tmp_path / "bal")
+    res_b = run_crawl(bal, images)
+    aff = _cfg(tmp_path / "aff", chunk_affinity="host")
+    res_a = run_crawl(aff, images)
+
+    assert res_b["pages_total"] == res_a["pages_total"]
+    key = lambda t: sorted(zip(t["round"].to_pylist(), t["rank"].to_pylist(),
+                               t["url"].to_pylist()))
+    assert key(read_order(bal.out_dir)) == key(read_order(aff.out_dir))
+    rows = lambda t: sorted(zip(t["url"].to_pylist(), t["round"].to_pylist(),
+                                t["image_id"].to_pylist()))
+    assert rows(read_archive(bal.out_dir)) == rows(read_archive(aff.out_dir))
+    assert dump_seen(res_b["_shards"]) == dump_seen(res_a["_shards"])
+    for mb, ma in zip(res_b["metrics"], res_a["metrics"]):
+        for k in FUNNEL:
+            assert mb[k] == ma[k]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_from_checkpoint_identical_outputs(tmp_path):
     """Kill after round k, resume → outputs identical to an uninterrupted run."""
     images = build_images_table(24)
