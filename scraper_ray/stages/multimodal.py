@@ -183,6 +183,57 @@ class ImageFeatures:
         return out
 
 
+def archive_image_features(out_dir: str, batch_size: int = 32,
+                           concurrency: int = 2):
+    """Compose the crawl archive with the multimodal stage: stream the
+    archived pages' image payloads through the fused decode+features pass
+    and aggregate per format — the end-to-end crawl→curation hand-off.
+
+    Reads only the needed columns from the archive fragments (bytes/fmt +
+    identity/phash), keeps batches small (wide binary rows), and returns a
+    per-format stats DataFrame: rows, decode successes, stored-vs-computed
+    phash matches, mean luminance (milli-units, exact ints).
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import tableio
+
+    base = os.path.join(out_dir, "archive")
+    parts = [os.path.join(base, d) for d in sorted(os.listdir(base))
+             if d.startswith("round=")]
+    datasets = [tableio.ray_dataset(p, columns=["url", "bytes", "fmt", "phash"])
+                for p in parts]
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    feats = ds.map_batches(DecodeImages, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=concurrency,
+                           fn_constructor_kwargs={"compute_features": True})
+
+    def to_stats(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["decode_ok"], pa.int64())
+        match = pc.cast(pc.equal(t["phash"], t["phash_computed"]), pa.int64())
+        lum = pc.cast(pc.round(pc.multiply(t["mean_luminance"], 1000)),
+                      pa.int64())
+        return pa.table({"fmt": t["fmt"], "decoded": ok, "phash_match": match,
+                         "lum_milli": lum})
+
+    out = (feats.map_batches(to_stats, batch_format="pyarrow")
+           .groupby("fmt")
+           .aggregate(Count(alias_name="n"),
+                      Sum("decoded", alias_name="n_decoded"),
+                      Sum("phash_match", alias_name="n_phash_match"),
+                      Sum("lum_milli", alias_name="sum_lum_milli")))
+    df = out.to_pandas()
+    for c in ("n", "n_decoded", "n_phash_match", "sum_lum_milli"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 class SampleVideoFrames:
     """STUB: frame sampling needs a video decoder (ffmpeg) absent here.
     The stage contract (binary column in, one row per sampled frame out) is

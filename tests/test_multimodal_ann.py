@@ -94,6 +94,25 @@ def test_multimodal_query_runs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_archive_image_features_end_to_end(tmp_path):
+    """Crawl → archive → fused decode+features → per-format stats: the
+    composition of the two engine halves. Every archived payload must
+    decode, and lossless formats must reproduce their stored phash."""
+    from scraper_ray.pipelines.crawl import CrawlConfig, read_archive, run_crawl
+    from scraper_ray.stages.multimodal import archive_image_features
+
+    cfg = CrawlConfig(out_dir=str(tmp_path / "c"), max_rounds=3, n_images=18,
+                      num_parts=4, n_hosts=8, fetch_concurrency=2)
+    run_crawl(cfg, build_images_table(cfg.n_images))
+    n_archived = read_archive(cfg.out_dir).num_rows
+    df = archive_image_features(cfg.out_dir)
+    assert df["n"].sum() == n_archived
+    assert (df["n_decoded"] == df["n"]).all()
+    lossless = df[df["fmt"].isin(["png", "bmp"])]
+    assert (lossless["n_phash_match"] == lossless["n"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ann_ivf_recall_vs_brute_force():
     from scraper_ray.pipelines.queries import q_ann_ivf, q_ann_topk
 
