@@ -921,7 +921,10 @@ def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
     import ray
 
     emb_file = f"{sf_dir}/embeddings.parquet"
-    qt = pq.read_table(emb_file, columns=["vec_id", "embedding"]).slice(0, nq)
+    # bounded driver read: only the first nq rows leave the file
+    qt = next(pq.ParquetFile(emb_file).iter_batches(
+        batch_size=max(nq, 1), columns=["vec_id", "embedding"]))
+    qt = pa.Table.from_batches([qt]).slice(0, nq)
     qids = qt["vec_id"].to_pylist()
     qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -1339,19 +1342,33 @@ def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
     deterministic coarse centroids (3 Lloyd iterations from seeded init),
     inverted-list assignment per batch, queries probe only their ``nprobe``
     nearest lists. Returns (query_id, neighbor_id); recall vs brute force is
-    pinned in tests, not exactness — pruning is the point."""
+    pinned in tests, not exactness — pruning is the point.
+
+    Driver reads are BOUNDED: centroid training and the query matrix come
+    from the first ``train_rows`` rows streamed out of the parquet file —
+    never the full table (at corpus scale the table doesn't fit a driver).
+    """
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
+    train_rows = 8192
     emb_file = f"{sf_dir}/embeddings.parquet"
-    full = pq.read_table(emb_file, columns=["vec_id", "embedding"])
-    ids_all = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
-    m_all = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    pf = pq.ParquetFile(emb_file)
+    head_batches = []
+    got_rows = 0
+    for rb in pf.iter_batches(batch_size=4096,
+                              columns=["vec_id", "embedding"]):
+        head_batches.append(rb)
+        got_rows += rb.num_rows
+        if got_rows >= train_rows:
+            break
+    head = pa.Table.from_batches(head_batches).slice(0, train_rows)
+    ids_all = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
+    m_all = np.array(head["embedding"].to_pylist(), dtype=np.float64)
     m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
 
-    # deterministic k-means (seeded init, 3 iterations) on a driver-side
-    # sample — at 100TB scale this trains on ds.random_sample and broadcasts
+    # deterministic k-means (seeded init, 3 iterations) on the bounded head
     rng = np.random.Generator(np.random.PCG64(42))
     sample = m_all[rng.choice(len(m_all), size=min(len(m_all), 4096),
                               replace=False)]
