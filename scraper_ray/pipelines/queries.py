@@ -1093,6 +1093,78 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.5
 """
 
 
+def _connected_components(pairs: pd.DataFrame,
+                          a_col: str = "id_a", b_col: str = "id_b"):
+    """Union-find over a pair list → {id: component_min_id}. The pair list
+    is aggregate-sized (verified near-dups, not the corpus), so a driver
+    union-find is the right tool at this stage; the corpus-scale path for
+    billion-edge graphs is iterative min-label propagation (a handful of
+    `map_batches` + hash-partition rounds with the same semantics)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[a_col].astype(int), pairs[b_col].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the component label is deterministic
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def q_embedding_dup_clusters(sf_dir: str):
+    """Connected components over the embedding near-dup pair graph:
+    (vec_id, cluster_id = min vec_id in component) for every vector in a
+    dup component. The pair generation is the LSH pipeline; clustering is
+    union-find over the aggregate-sized verified pairs. SQL oracle: the
+    same components via a recursive min-label-propagation CTE."""
+    pairs = q_embedding_near_dup(sf_dir)
+    comp = _connected_components(pairs)
+    ids = sorted(comp)
+    return pd.DataFrame({
+        "vec_id": pd.Series(ids, dtype="int64"),
+        "cluster_id": pd.Series([comp[i] for i in ids], dtype="int64"),
+    })
+
+
+Q_EMB_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+def q_minhash_dup_clusters(sf_dir: str):
+    """Connected components over the verified MinHash near-dup pairs —
+    the keep-one-per-cluster decision surface for corpus dedup (rows-only;
+    the pair stage is not SQL-expressible)."""
+    pairs = q_minhash_near_dup(sf_dir)
+    comp = _connected_components(pairs)
+    ids = sorted(comp)
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "cluster_id": pd.Series([comp[i] for i in ids], dtype="int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # 14-17. non-SQL-expressible training-data ops (rows-only driver check)
 
@@ -1500,6 +1572,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "multimodal_image_stats": q_multimodal_image_stats,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
+    "minhash_dup_clusters": q_minhash_dup_clusters,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -1528,6 +1602,7 @@ ORACLE_SQL = {
     "token_stats": Q_TOKEN_STATS_SQL,
     "ann_topk": Q_ANN_SQL,
     "embedding_near_dup": Q_EMB_NEAR_DUP_SQL,
+    "embedding_dup_clusters": Q_EMB_DUP_CLUSTERS_SQL,
     "asof_last_click": Q_ASOF_SQL,
     "union_distinct": Q_UNION_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
