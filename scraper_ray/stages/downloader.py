@@ -144,12 +144,15 @@ class HTTPDownloader(Downloader):
 
     def __init__(self, rate_per_sec: float = 1.0, burst: float = 4.0,
                  timeout_s: float = 30.0, user_agent: str = "scraper-ray/0",
+                 obey_robots: bool = True,
                  clock=time.monotonic, sleep=time.sleep):
         self.bucket = WallClockTokenBucket(rate_per_sec, burst, clock=clock)
         self._sleep = sleep
         self.timeout_s = timeout_s
         self.user_agent = user_agent
+        self.obey_robots = obey_robots
         self.html_mode = True
+        self._robots: dict = {}  # host -> list of disallowed path prefixes
         self._reset_payloads()
 
     def _reset_payloads(self):
@@ -160,6 +163,43 @@ class HTTPDownloader(Downloader):
         """-> (status_code, content_type, body_bytes). Override me."""
         raise NotImplementedError(
             "no network in this environment; plug an HTTP client here")
+
+    @staticmethod
+    def _parse_robots(body: str) -> list:
+        """Disallow prefixes from the ``User-agent: *`` sections (minimal
+        robots.txt subset: prefix matching, no wildcards/Allow)."""
+        rules: list[str] = []
+        applies = False
+        for line in body.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                applies = val == "*"
+            elif key == "disallow" and applies and val:
+                rules.append(val)
+        return rules
+
+    def _robots_disallows(self, host: str, path: str) -> bool:
+        """robots.txt check with a per-host fetch-once cache. The robots
+        fetch itself goes through the token bucket (it is a request); a
+        failed or unparseable robots.txt means allow-all (the conventional
+        fail-open reading)."""
+        rules = self._robots.get(host)
+        if rules is None:
+            self.bucket.acquire(host, sleep=self._sleep)
+            try:
+                status, _ctype, body = self._get(f"http://{host}/robots.txt")
+                rules = (self._parse_robots(body.decode("utf-8", "replace"))
+                         if status == 200 else [])
+            except NotImplementedError:
+                raise
+            except Exception:
+                rules = []
+            self._robots[host] = rules
+        return any(path.startswith(r) for r in rules)
 
     @staticmethod
     def _classify(status: int) -> str:
@@ -180,13 +220,19 @@ class HTTPDownloader(Downloader):
         return len(self.blob) - 1
 
     def fetch_one(self, url: str):
+        from urllib.parse import urlsplit
+
         from ..functions.urlnorm import host_of
 
         # handles are valid until the next fetch_one/fetch_batch call — the
         # Fetcher consumes payload columns immediately; without this reset a
         # long-lived html-mode actor would accumulate every downloaded body
         self._reset_payloads()
-        self.bucket.acquire(host_of(url), sleep=self._sleep)
+        host = host_of(url)
+        if self.obey_robots and self._robots_disallows(
+                host, urlsplit(url).path or "/"):
+            return "RobotsDisallowed", -1, ""
+        self.bucket.acquire(host, sleep=self._sleep)
         try:
             status, ctype, body = self._get(url)
         except NotImplementedError:
@@ -201,11 +247,17 @@ class HTTPDownloader(Downloader):
         return "", self._store(url, ctype, body), ""
 
     def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+        from urllib.parse import urlsplit
+
         self._reset_payloads()
         idx = np.full(len(urls), -1, dtype=np.int64)
         links: list = [[] for _ in urls]
         errs: list = [""] * len(urls)
         for i, (u, h) in enumerate(zip(urls, hosts)):
+            if self.obey_robots and self._robots_disallows(
+                    h, urlsplit(u).path or "/"):
+                errs[i] = "RobotsDisallowed"
+                continue
             self.bucket.acquire(h, sleep=self._sleep)
             try:
                 status, ctype, body = self._get(u)

@@ -113,7 +113,7 @@ def test_http_downloader_status_classification():
             urls[3]: ConnectionError("boom"),
             urls[4]: (200, "image/png", b"\x89PNG"),
         },
-        rate_per_sec=1000.0, burst=1000.0,
+        rate_per_sec=1000.0, burst=1000.0, obey_robots=False,
         clock=lambda: 0.0, sleep=lambda s: None,
     )
     pb = d.fetch_batch(urls, ["h.example"] * len(urls))
@@ -139,7 +139,8 @@ def test_http_downloader_paces_per_host():
 
     urls = [f"http://h.example/{i}" for i in range(5)]
     d = CannedHTTP({u: (200, "text/html", b"") for u in urls},
-                   rate_per_sec=1.0, burst=2.0, clock=clock, sleep=sleep)
+                   rate_per_sec=1.0, burst=2.0, obey_robots=False,
+                   clock=clock, sleep=sleep)
     d.fetch_batch(urls, ["h.example"] * 5)
     assert len(d.calls) == 5
     # burst of 2 free, then ~1s of simulated wait per request
@@ -200,12 +201,41 @@ def test_fetcher_html_page_without_payload_gets_none_columns():
     assert out2["error_kind"].to_pylist() == [""]
 
 
+def test_http_downloader_honors_robots():
+    """robots.txt is fetched once per host (cached), parsed for the
+    User-agent:* Disallow prefixes, and enforced BEFORE the page GET;
+    a missing/broken robots.txt fails open."""
+    robots = b"User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"
+    d = CannedHTTP(
+        {
+            "http://h.example/robots.txt": (200, "text/plain", robots),
+            "http://h.example/ok": (200, "text/html", b"<html></html>"),
+            "http://h.example/ok2": (200, "text/html", b"<html></html>"),
+            # note: no /private/x entry — it must never be requested
+        },
+        rate_per_sec=1000.0, burst=1000.0,
+        clock=lambda: 0.0, sleep=lambda s: None,
+    )
+    assert d.fetch_one("http://h.example/private/x")[0] == "RobotsDisallowed"
+    assert d.fetch_one("http://h.example/tmpfile")[0] == "RobotsDisallowed"
+    assert d.fetch_one("http://h.example/ok")[0] == ""
+    assert d.fetch_one("http://h.example/ok2")[0] == ""
+    # robots fetched exactly once; the disallowed page never requested
+    assert d.calls.count("http://h.example/robots.txt") == 1
+    assert "http://h.example/private/x" not in d.calls
+    # a host whose robots.txt errors fails open
+    d2 = CannedHTTP({"http://r.example/p": (200, "text/html", b"")},
+                    rate_per_sec=1000.0, burst=1000.0,
+                    clock=lambda: 0.0, sleep=lambda s: None)
+    assert d2.fetch_one("http://r.example/p")[0] == ""
+
+
 def test_http_downloader_payload_store_resets_per_fetch():
     """fetch_one must not accumulate payloads across calls (long-lived
     html-mode actors would otherwise grow without bound)."""
     urls = [f"http://h.example/img{i}" for i in range(5)]
     d = CannedHTTP({u: (200, "image/png", b"x" * 10) for u in urls},
-                   rate_per_sec=1000.0, burst=1000.0,
+                   rate_per_sec=1000.0, burst=1000.0, obey_robots=False,
                    clock=lambda: 0.0, sleep=lambda s: None)
     for u in urls:
         err, idx, _ = d.fetch_one(u)
