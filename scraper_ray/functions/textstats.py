@@ -30,6 +30,15 @@ _STOPWORDS = {
 _WORD_RE = re.compile(r"[A-Za-zÀ-ÿ]+")
 _CJK_RE = re.compile(r"[一-鿿㐀-䶿]")
 
+# word → language bitmask (words can sit in several languages' stopword
+# sets): one dict lookup per word replaces a set-membership pass per
+# language. _LANG_ORDER preserves the original tie-break (first max wins).
+_LANG_ORDER = list(_STOPWORDS)
+_STOPWORD_LANGS: dict[str, int] = {}
+for _li, _lang in enumerate(_LANG_ORDER):
+    for _w in _STOPWORDS[_lang]:
+        _STOPWORD_LANGS[_w] = _STOPWORD_LANGS.get(_w, 0) | (1 << _li)
+
 
 def detect_lang(text: str) -> str:
     """Best-effort language guess: 'zh' by CJK density, else argmax stopword
@@ -39,12 +48,24 @@ def detect_lang(text: str) -> str:
     cjk = len(_CJK_RE.findall(text[:2000]))
     if cjk > max(8, len(text[:2000]) * 0.05):
         return "zh"
-    words = [w.lower() for w in _WORD_RE.findall(text[:4000])]
+    words = _WORD_RE.findall(text[:4000])
     if not words:
         return "und"
+    counts = [0] * len(_LANG_ORDER)
+    get = _STOPWORD_LANGS.get
+    for w in words:
+        m = get(w.lower())
+        if m:
+            li = 0
+            while m:
+                if m & 1:
+                    counts[li] += 1
+                m >>= 1
+                li += 1
+    n = len(words)
     best, best_score = "und", 0.0
-    for lang, sw in _STOPWORDS.items():
-        score = sum(1 for w in words if w in sw) / len(words)
+    for li, lang in enumerate(_LANG_ORDER):
+        score = counts[li] / n
         if score > best_score:
             best, best_score = lang, score
     return best if best_score > 0.02 else "und"
