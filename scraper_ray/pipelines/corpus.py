@@ -34,20 +34,29 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     """Run the cleaning pipeline; returns the funnel stats dict (and writes
     partitioned parquet + ``stats.json`` when ``out_dir`` is given)."""
     import ray
-    import ray.data as rd
 
     from ..functions.hashing import hash64_batch
     from ..functions.textstats import (
         count_tokens_bpe, detect_lang, fingerprint_batch, quality_features,
         quality_score,
     )
-    from .queries import _hash_aggregate, _lsh_candidates, \
-        _verify_pairs_with_texts, _read
-    from ..functions.sketches import MinHasher
-    from ..functions.textstats import jaccard, word_shingles  # noqa: F401
+    from .queries import _read, q_minhash_near_dup
 
-    docs = _read(sf_dir, "documents",
-                 ["doc_id", "text", "lang", "source", "n_chars"])
+    if out_dir and os.path.exists(os.path.join(out_dir, "stats.json")):
+        # resume guard (mirrors crawl.py's manifest config check): finished
+        # partitions are skipped on rerun, so the config that produced them
+        # must match — otherwise stale rows would silently masquerade as
+        # this run's output
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            prev = json.load(f)
+        for k, v in (("min_quality", min_quality), ("num_parts", num_parts)):
+            if prev.get(k) != v:
+                raise ValueError(
+                    f"resume config mismatch on {k!r}: out_dir was written "
+                    f"with {prev.get(k)!r}, current run has {v!r}; use a "
+                    "fresh out_dir")
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def features(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -90,29 +99,11 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
              .groupby("_pkey")
              .map_groups(keep_first, batch_format="pandas"))
 
-    # near-dup removal: verified MinHash pairs (id_a < id_b) → drop id_b.
-    # The drop set is pair-sized (tiny vs the corpus) → broadcast.
-    mh = MinHasher(num_perm=64, bands=16)
-
-    def sigs(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = mh.band_hashes_batch(
-            mh.signatures_batch([word_shingles(x, 3) for x in texts]))
-        n = len(texts)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(dids, mh.nbands)),
-            "band": pa.array(np.tile(np.arange(mh.nbands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
-        })
-
-    docs_for_pairs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = _lsh_candidates(
-        docs_for_pairs.map_batches(sigs, batch_format="pyarrow",
-                                   batch_size=512))
-    pairs = _verify_pairs_with_texts(
-        cand, _read(sf_dir, "documents", ["doc_id", "text"]),
-        lambda x: word_shingles(x, 3), 0.5).to_pandas()
+    # near-dup removal: verified MinHash pairs (id_a < id_b) → drop id_b —
+    # the same operator exposed as queries.q_minhash_near_dup (ONE
+    # implementation; a drifted copy here would silently diverge from the
+    # tested pair semantics). The drop set is pair-sized → broadcast.
+    pairs = q_minhash_near_dup(sf_dir)
     drop_ids = (sorted(set(pairs["id_b"].astype(int)))
                 if len(pairs) else [])
     drop_ref = ray.put(pa.array(drop_ids, pa.int64()))
@@ -123,17 +114,32 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         mask = pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)))
         return t.filter(mask)
 
+    # materialize the dedup output ONCE — the per-doc feature pass is the
+    # dominant cost and both the count and the downstream write consume it
+    exact = exact.materialize()
+    n_after_exact = exact.count()
     near = exact.map_batches(near_filter, batch_format="pyarrow")
+
+    # near-dup drops actually applied = drop ids still present AFTER exact
+    # dedup (an id_b that was an exact-dup loser is already gone and must
+    # not be double-counted in the funnel)
+    def count_drops(t: pa.Table) -> pa.Table:
+        hit = pc.sum(pc.cast(pc.is_in(t["doc_id"],
+                                      value_set=ray.get(drop_ref)),
+                             pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([hit], pa.int64())})
+
+    n_near_dropped = sum(
+        r["n"] for r in
+        exact.map_batches(count_drops, batch_format="pyarrow")
+        .to_pandas().to_dict("records"))
 
     def quality_filter(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["quality"], min_quality))
 
     cleaned = near.map_batches(quality_filter, batch_format="pyarrow")
 
-    # funnel counts via cheap aggregates (each consumes the lazy pipeline
-    # prefix once; counts are aggregate-sized)
     n_input = docs.count()
-    n_after_exact = exact.count()
 
     # materialize the cleaned corpus once for count + optional write
     if out_dir:
@@ -172,7 +178,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     stats = {
         "n_input": int(n_input),
         "n_after_exact_dedup": int(n_after_exact),
-        "n_near_dup_dropped": len(drop_ids),
+        "n_near_dup_dropped": int(n_near_dropped),
         "n_kept": int(n_kept),
         "min_quality": min_quality,
         "num_parts": num_parts,

@@ -168,6 +168,10 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
     """Run (or resume) a crawl; returns the lineage/metrics summary dict."""
     import ray
 
+    if cfg.chunk_affinity not in ("balanced", "host"):
+        raise ValueError(
+            f"chunk_affinity must be 'balanced' or 'host', got "
+            f"{cfg.chunk_affinity!r}")
     out = cfg.out_dir
     archive_dir = os.path.join(out, "archive")
     errors_dir = os.path.join(out, "errors")

@@ -921,10 +921,17 @@ def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
     import ray
 
     emb_file = f"{sf_dir}/embeddings.parquet"
-    # bounded driver read: only the first nq rows leave the file
-    qt = next(pq.ParquetFile(emb_file).iter_batches(
-        batch_size=max(nq, 1), columns=["vec_id", "embedding"]))
-    qt = pa.Table.from_batches([qt]).slice(0, nq)
+    # bounded driver read: stream batches until nq rows are in hand (a
+    # single next() would silently under-fill when the first row group is
+    # smaller than nq)
+    qb, got = [], 0
+    for rb in pq.ParquetFile(emb_file).iter_batches(
+            batch_size=max(nq, 1), columns=["vec_id", "embedding"]):
+        qb.append(rb)
+        got += rb.num_rows
+        if got >= nq:
+            break
+    qt = pa.Table.from_batches(qb).slice(0, nq)
     qids = qt["vec_id"].to_pylist()
     qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

@@ -166,10 +166,13 @@ class HTTPDownloader(Downloader):
 
     @staticmethod
     def _parse_robots(body: str) -> list:
-        """Disallow prefixes from the ``User-agent: *`` sections (minimal
-        robots.txt subset: prefix matching, no wildcards/Allow)."""
+        """Disallow prefixes applying to ``*`` (minimal robots.txt subset:
+        prefix matching, no wildcards/Allow). Consecutive ``User-agent``
+        lines form one group (RFC 9309 §2.1) — the group's rules apply if
+        ANY of its agents is ``*``, regardless of line order."""
         rules: list[str] = []
-        applies = False
+        group_has_star = False
+        in_ua_run = False
         for line in body.splitlines():
             line = line.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -177,21 +180,31 @@ class HTTPDownloader(Downloader):
             key, _, val = line.partition(":")
             key, val = key.strip().lower(), val.strip()
             if key == "user-agent":
-                applies = val == "*"
-            elif key == "disallow" and applies and val:
-                rules.append(val)
+                if not in_ua_run:
+                    group_has_star = False  # a new group starts
+                in_ua_run = True
+                if val == "*":
+                    group_has_star = True
+            else:
+                in_ua_run = False
+                if key == "disallow" and group_has_star and val:
+                    rules.append(val)
         return rules
 
-    def _robots_disallows(self, host: str, path: str) -> bool:
-        """robots.txt check with a per-host fetch-once cache. The robots
-        fetch itself goes through the token bucket (it is a request); a
-        failed or unparseable robots.txt means allow-all (the conventional
-        fail-open reading)."""
+    def _robots_disallows(self, host: str, path: str,
+                          scheme: str = "http") -> bool:
+        """robots.txt check with a per-host fetch-once cache, requested
+        over the SAME scheme as the page (an https-only host would reject a
+        plain-http robots probe and silently fail open otherwise). The
+        robots fetch itself goes through the token bucket (it is a
+        request); a failed or unparseable robots.txt means allow-all (the
+        conventional fail-open reading)."""
         rules = self._robots.get(host)
         if rules is None:
             self.bucket.acquire(host, sleep=self._sleep)
             try:
-                status, _ctype, body = self._get(f"http://{host}/robots.txt")
+                status, _ctype, body = self._get(
+                    f"{scheme or 'http'}://{host}/robots.txt")
                 rules = (self._parse_robots(body.decode("utf-8", "replace"))
                          if status == 200 else [])
             except NotImplementedError:
@@ -229,8 +242,9 @@ class HTTPDownloader(Downloader):
         # long-lived html-mode actor would accumulate every downloaded body
         self._reset_payloads()
         host = host_of(url)
+        parts = urlsplit(url)
         if self.obey_robots and self._robots_disallows(
-                host, urlsplit(url).path or "/"):
+                host, parts.path or "/", parts.scheme):
             return "RobotsDisallowed", -1, ""
         self.bucket.acquire(host, sleep=self._sleep)
         try:
@@ -254,8 +268,9 @@ class HTTPDownloader(Downloader):
         links: list = [[] for _ in urls]
         errs: list = [""] * len(urls)
         for i, (u, h) in enumerate(zip(urls, hosts)):
+            parts = urlsplit(u)
             if self.obey_robots and self._robots_disallows(
-                    h, urlsplit(u).path or "/"):
+                    h, parts.path or "/", parts.scheme):
                 errs[i] = "RobotsDisallowed"
                 continue
             self.bucket.acquire(h, sleep=self._sleep)

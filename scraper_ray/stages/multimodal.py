@@ -183,38 +183,18 @@ class ImageFeatures:
         return out
 
 
-def archive_image_features(out_dir: str, batch_size: int = 32,
-                           concurrency: int = 2):
-    """Compose the crawl archive with the multimodal stage: stream the
-    archived pages' image payloads through the fused decode+features pass
-    and aggregate per format — the end-to-end crawl→curation hand-off.
+class ImageStatsFused(DecodeImages):
+    """Decode + features + narrow stats in ONE stage: the payload ``bytes``
+    never re-enter the object store after decode (the CLAUDE.md no-double-
+    transit rule) — only 4 narrow columns leave the actor."""
 
-    Reads only the needed columns from the archive fragments (bytes/fmt +
-    identity/phash), keeps batches small (wide binary rows), and returns a
-    per-format stats DataFrame: rows, decode successes, stored-vs-computed
-    phash matches, mean luminance (milli-units, exact ints).
-    """
-    import os
+    def __init__(self):
+        super().__init__(compute_features=True)
 
-    import pyarrow.compute as pc
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    from ..sources import tableio
-
-    base = os.path.join(out_dir, "archive")
-    parts = [os.path.join(base, d) for d in sorted(os.listdir(base))
-             if d.startswith("round=")]
-    datasets = [tableio.ray_dataset(p, columns=["url", "bytes", "fmt", "phash"])
-                for p in parts]
-    ds = datasets[0]
-    for other in datasets[1:]:
-        ds = ds.union(other)
-    feats = ds.map_batches(DecodeImages, batch_format="pyarrow",
-                           batch_size=batch_size, concurrency=concurrency,
-                           fn_constructor_kwargs={"compute_features": True})
-
-    def to_stats(t: pa.Table) -> pa.Table:
+        t = super().__call__(batch)
         ok = pc.cast(t["decode_ok"], pa.int64())
         match = pc.cast(pc.equal(t["phash"], t["phash_computed"]), pa.int64())
         lum = pc.cast(pc.round(pc.multiply(t["mean_luminance"], 1000)),
@@ -222,13 +202,56 @@ def archive_image_features(out_dir: str, batch_size: int = 32,
         return pa.table({"fmt": t["fmt"], "decoded": ok, "phash_match": match,
                          "lum_milli": lum})
 
-    out = (feats.map_batches(to_stats, batch_format="pyarrow")
-           .groupby("fmt")
+
+def archive_image_features(out_dir: str, batch_size: int = 32,
+                           concurrency: int = 2):
+    """Compose the crawl archive with the multimodal stage: stream the
+    archived pages' image payloads through the fused
+    decode+features+stats pass and aggregate per format — the end-to-end
+    crawl→curation hand-off.
+
+    Reads only the needed columns from the archive fragments (bytes/fmt +
+    identity/phash), keeps batches small (wide binary rows), and returns a
+    per-format stats DataFrame: rows, decode successes, stored-vs-computed
+    phash matches, mean luminance (milli-units, exact ints). An empty or
+    absent archive yields an empty typed frame.
+    """
+    import os
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import tableio
+
+    empty = pd.DataFrame({
+        "fmt": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+        "n_decoded": pd.Series([], dtype="int64"),
+        "n_phash_match": pd.Series([], dtype="int64"),
+        "sum_lum_milli": pd.Series([], dtype="int64"),
+    })
+    base = os.path.join(out_dir, "archive")
+    if not os.path.isdir(base):
+        return empty
+    parts = [os.path.join(base, d) for d in sorted(os.listdir(base))
+             if d.startswith("round=")]
+    if not parts:
+        return empty
+    datasets = [tableio.ray_dataset(p, columns=["url", "bytes", "fmt", "phash"])
+                for p in parts]
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    stats = ds.map_batches(ImageStatsFused, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=concurrency)
+    out = (stats.groupby("fmt")
            .aggregate(Count(alias_name="n"),
                       Sum("decoded", alias_name="n_decoded"),
                       Sum("phash_match", alias_name="n_phash_match"),
                       Sum("lum_milli", alias_name="sum_lum_milli")))
     df = out.to_pandas()
+    if len(df) == 0:
+        return empty
     for c in ("n", "n_decoded", "n_phash_match", "sum_lum_milli"):
         df[c] = df[c].astype("int64")
     return df

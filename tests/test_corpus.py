@@ -52,6 +52,37 @@ def test_corpus_clean_end_to_end(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_corpus_resume_config_mismatch_refused(tmp_path):
+    """Rerunning over an existing out_dir with a different config must
+    refuse (finished partitions are skipped on resume, so stale rows would
+    otherwise masquerade as this run's output)."""
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = str(tmp_path / "corpus")
+    clean_corpus(SF_DIR, out, min_quality=0.3)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        clean_corpus(SF_DIR, out, min_quality=0.9)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        clean_corpus(SF_DIR, out, num_parts=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_funnel_decomposes(tmp_path):
+    """n_after_exact - n_kept == near-dup drops + quality drops: the
+    near-dup stat counts only documents actually removed by that stage
+    (not exact-dup losers that also appear in the pair list)."""
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    s = clean_corpus(SF_DIR, None)
+    assert s["n_near_dup_dropped"] <= s["n_after_exact_dedup"]
+    # drops at the near stage plus drops at the quality stage account for
+    # the whole post-exact reduction
+    n_quality_dropped = (s["n_after_exact_dedup"] - s["n_near_dup_dropped"]
+                         - s["n_kept"])
+    assert n_quality_dropped >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_corpus_clean_resume_skips_finished_parts(tmp_path):
     from scraper_ray.pipelines.corpus import clean_corpus
 

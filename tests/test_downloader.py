@@ -230,6 +230,24 @@ def test_http_downloader_honors_robots():
     assert d2.fetch_one("http://r.example/p")[0] == ""
 
 
+def test_http_downloader_robots_group_and_scheme():
+    """RFC 9309 group semantics: consecutive User-agent lines share one
+    rule group ('*' anywhere in the run applies); and the robots probe
+    uses the page's scheme (https page → https robots URL)."""
+    robots = b"User-agent: *\nUser-agent: somebot\nDisallow: /private/\n"
+    d = CannedHTTP(
+        {
+            "https://s.example/robots.txt": (200, "text/plain", robots),
+            "https://s.example/ok": (200, "text/html", b""),
+        },
+        rate_per_sec=1000.0, burst=1000.0,
+        clock=lambda: 0.0, sleep=lambda s: None,
+    )
+    assert d.fetch_one("https://s.example/private/x")[0] == "RobotsDisallowed"
+    assert d.fetch_one("https://s.example/ok")[0] == ""
+    assert d.calls[0] == "https://s.example/robots.txt"  # https, not http
+
+
 def test_http_downloader_payload_store_resets_per_fetch():
     """fetch_one must not accumulate payloads across calls (long-lived
     html-mode actors would otherwise grow without bound)."""
