@@ -392,10 +392,20 @@ GROUP BY o_orderstatus
 # 5. distinct / dedup-exact on keys (groupby + count)
 
 def q_lang_source_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
-    df = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+
+    # per-batch count partial so the shuffle moves (lang, source, n)
+    # partials, never raw rows — the pre-aggregate-before-groupby rule
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby(["lang", "source"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
     df["n"] = df["n"].astype("int64")
     return df
 
@@ -897,10 +907,9 @@ def q_token_stats(sf_dir: str):
         tt = pa.table({"source": t["source"],
                        "ntok": ntok.cast(pa.int64()),
                        "n_chars": t["n_chars"]})
-        df = tt.to_pandas().groupby("source", as_index=False).agg(
-            n_docs=("ntok", "size"), sum_tokens=("ntok", "sum"),
-            sum_chars=("n_chars", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = tt.group_by("source").aggregate(
+            [("ntok", "count"), ("ntok", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "n_docs", "sum_tokens", "sum_chars"])
 
     from ray.data.aggregate import Sum
 
