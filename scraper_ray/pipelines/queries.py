@@ -7,13 +7,26 @@ TPC-H-ish tables plus the training-data-pipeline operations (dedup families,
 similarity search, text analysis) on ``documents``/``embeddings``.
 
 Scale discipline applied throughout:
-- reads prune columns (``read_parquet(columns=[...])``);
-- aggregations pre-aggregate per batch (partial/combiner) before the small
-  global ``groupby`` — the shuffle moves partials, not rows;
+- reads prune columns (``read_parquet(columns=[...])``); driver-side reads
+  are bounded (streamed heads), never full tables;
+- aggregations pre-aggregate per batch (partial/combiner, pure-Arrow
+  ``TableGroupBy`` where the kernel allows) before the small global
+  ``groupby`` — the shuffle moves partials, not rows;
 - small sides (dimension lookups, key sets, query matrices) are broadcast by
   closure capture / ``ray.put``, never shuffled;
 - per-batch bodies are vectorized (pyarrow.compute / numpy / pandas);
 - results returned to the driver are aggregate-sized, never the input.
+
+Shared infrastructure (Ray's per-group overhead is ~160µs, so anything
+with many small groups must avoid per-key Python):
+- :func:`_hash_aggregate` — high-cardinality grouped aggregation as one
+  coarse exchange with a vectorized pandas kernel per partition;
+- :func:`_lsh_candidates` — banded LSH rows → capped candidate pairs via
+  coarse partitions + numpy run detection (optional in-bucket filter);
+- :func:`_bucket_attach` — explicit bucketed hash join attaching a lookup
+  column onto pair rows (the distributed near-dup verify feed);
+- :func:`_connected_components` — min-label union-find over
+  aggregate-sized pair lists (cluster formation).
 """
 
 from __future__ import annotations
