@@ -33,11 +33,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CRAWL_KW = dict(
     num_parts=16,
     seen_mode="approx",
-    # 'host' measures faster here: the url-partitioned mode's shard-to-shard
-    # frontier forwards cost ~P tiny actor calls per routing call, which
-    # dominates at sandbox scale (measured 9.3k vs 21.9k pages/s @16 cores).
-    # 'url' (tested for exact parity) is the right choice when a single hot
-    # host's seen-set shard becomes memory- or CPU-bound at 10^10 scale.
+    # 'host' remains the bench default; since the shard-to-shard frontier
+    # forwards are batched per round the url-partitioned mode measures at
+    # parity (18.2k vs 17.7k pages/s @16 pinned cores) and is the right
+    # choice when a hot host's seen-set shard becomes memory/CPU-bound.
     seen_partition="host",
     seen_capacity=1 << 21,
     rate=150.0,
@@ -141,7 +140,7 @@ def main() -> None:
     # sample conflates engine speed with whoever was noisy that minute —
     # the same quiet-window protocol the scaling runs use (SCALE_REPS)
     samples = []
-    for _ in range(int(os.environ.get("CRAWL_REPS", "2"))):
+    for _ in range(max(1, int(os.environ.get("CRAWL_REPS", "2")))):
         s0 = _read_steal()
         rec = run_crawl_bench(NUM_CPUS)
         rec["steal_jiffies"] = _read_steal() - s0

@@ -105,10 +105,19 @@ def q_pricing_summary(sf_dir: str):
         })
         g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("sum_qty", "sum"), ("sum_base_price_cents", "sum"),
-             ("sum_revenue_c4", "sum"), ("sum_qty", "count")])
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty",
-             "sum_base_price_cents", "sum_revenue_c4", "count_order"])
+             ("sum_revenue_c4", "sum"),
+             ("sum_qty", "count", pc.CountOptions(mode="all"))])
+        # select by generated name (not positional rename: pyarrow's
+        # key/aggregate column ordering has changed across versions), and
+        # count with mode="all" = the oracle's count(*) row semantics
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_qty_sum"],
+            "sum_base_price_cents": g["sum_base_price_cents_sum"],
+            "sum_revenue_c4": g["sum_revenue_c4_sum"],
+            "count_order": g["sum_qty_count"],
+        })
 
     from ray.data.aggregate import Sum
 
@@ -412,8 +421,10 @@ def q_lang_source_counts(sf_dir: str):
     # per-batch count partial so the shuffle moves (lang, source, n)
     # partials, never raw rows — the pre-aggregate-before-groupby rule
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["lang", "source"]).aggregate([("lang", "count")])
-        return g.rename_columns(["lang", "source", "n"])
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("lang", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "n": g["lang_count"]})
 
     df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
           .groupby(["lang", "source"])
@@ -471,9 +482,11 @@ def q_events_daily(sf_dir: str):
         vm = pc.cast(pc.round(pc.multiply(t["value"], 1000)), pa.int64())
         g = (pa.table({"user_id": t["user_id"], "day": day, "value_milli": vm})
              .group_by(["user_id", "day"])
-             .aggregate([("value_milli", "count"), ("value_milli", "sum")]))
-        return g.rename_columns(
-            ["user_id", "day", "n_events", "sum_value_milli"])
+             .aggregate([("value_milli", "count", pc.CountOptions(mode="all")),
+                         ("value_milli", "sum")]))
+        return pa.table({"user_id": g["user_id"], "day": g["day"],
+                         "n_events": g["value_milli_count"],
+                         "sum_value_milli": g["value_milli_sum"]})
 
     out = _hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
@@ -921,8 +934,11 @@ def q_token_stats(sf_dir: str):
                        "ntok": ntok.cast(pa.int64()),
                        "n_chars": t["n_chars"]})
         g = tt.group_by("source").aggregate(
-            [("ntok", "count"), ("ntok", "sum"), ("n_chars", "sum")])
-        return g.rename_columns(["source", "n_docs", "sum_tokens", "sum_chars"])
+            [("ntok", "count", pc.CountOptions(mode="all")),
+             ("ntok", "sum"), ("n_chars", "sum")])
+        return pa.table({"source": g["source"], "n_docs": g["ntok_count"],
+                         "sum_tokens": g["ntok_sum"],
+                         "sum_chars": g["n_chars_sum"]})
 
     from ray.data.aggregate import Sum
 
