@@ -69,8 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names). Entries
-    absent here (minhash/simhash near-dup, lang-id, quality, fingerprints)
-    are not SQL-expressible → the driver records the weaker rows-only check."""
+    absent here (the MinHash/SimHash/ngram near-dup families and their
+    clusters, IVF ANN, lang-id, quality scores, fingerprints, the
+    multimodal and corpus pipelines) are not SQL-expressible → the driver
+    records the weaker rows-only check."""
     from scraper_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
