@@ -1453,6 +1453,95 @@ def q_quality_scores(sf_dir: str):
     return ds.map_batches(feat, batch_format="pyarrow").to_pandas()
 
 
+def q_stratified_split(sf_dir: str):
+    """Deterministic train/val split with per-(split, source) counts — the
+    dataset-splitting operator every training pipeline needs. The split is
+    a pure function of doc_id (modulo), so it is stable across runs,
+    partitionings, and cluster sizes; counts pre-aggregate per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        split = pa.array(np.where(d % 10 < 9, "train", "val"))
+        g = (pa.table({"split": split, "source": t["source"]})
+             .group_by(["split", "source"])
+             .aggregate([("split", "count", pc.CountOptions(mode="all"))]))
+        return pa.table({"split": g["split"], "source": g["source"],
+                         "n": g["split_count"]})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby(["split", "source"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+Q_STRATIFIED_SPLIT_SQL = """
+SELECT CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+       source, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_sequence_pack(sf_dir: str, capacity: int = 2048, num_parts: int = 32):
+    """Greedy sequence packing: documents are packed in doc_id order into
+    bins of ≤ ``capacity`` whitespace tokens (oversized docs get their own
+    bin) — the batch-preparation operator for LLM training. Packing is
+    sequential by nature, so documents are hash-partitioned and packed
+    greedily WITHIN each partition (bin ids are (partition, local_bin) —
+    globally unique, deterministic, independent of parallelism). Returns
+    per-bin stats: (bin_id, n_docs, n_tokens, fill_ratio)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_tokens": ntok.cast(pa.int64())})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (df["doc_id"] % num_parts).astype("int32")
+        return df
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        part = int(g["_pkey"].iloc[0])
+        bins, docs_in, toks_in = [], [], []
+        cur_docs = cur_toks = 0
+        bin_local = 0
+        for nt in g["n_tokens"].to_numpy():
+            nt = int(nt)
+            if cur_docs and cur_toks + nt > capacity:
+                bins.append(bin_local); docs_in.append(cur_docs)
+                toks_in.append(cur_toks)
+                bin_local += 1
+                cur_docs = cur_toks = 0
+            cur_docs += 1
+            cur_toks += nt
+        if cur_docs:
+            bins.append(bin_local); docs_in.append(cur_docs)
+            toks_in.append(cur_toks)
+        return pd.DataFrame({
+            "bin_id": pd.Series([part * 1_000_000 + b for b in bins],
+                                dtype="int64"),
+            "n_docs": pd.Series(docs_in, dtype="int64"),
+            "n_tokens": pd.Series(toks_in, dtype="int64"),
+            "fill_ratio": pd.Series(
+                [round(min(t, capacity) / capacity, 4) for t in toks_in],
+                dtype="float64"),
+        })
+
+    df = (ds.map_batches(tokens, batch_format="pyarrow", batch_size=65536)
+          .map_batches(tag, batch_format="pandas")
+          .groupby("_pkey")
+          .map_groups(pack, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values("bin_id").reset_index(drop=True)
+
+
 def q_fingerprints(sf_dir: str):
     """64-bit rolling-window fingerprints per document (stored as int64);
     batch kernel — one hash call for all windows of the batch."""
@@ -1644,6 +1733,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "stratified_split": q_stratified_split,
+    "sequence_pack": q_sequence_pack,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
 
@@ -1657,6 +1748,7 @@ ORACLE_SQL = {
     "top_lineitems": Q_TOP_LINEITEMS_SQL,
     "events_daily": Q_EVENTS_DAILY_SQL,
     "hopping_window": Q_HOPPING_SQL,
+    "stratified_split": Q_STRATIFIED_SPLIT_SQL,
     "top_order_per_cust": Q_TOP_ORDER_PER_CUST_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "source_blacklist": Q_SOURCE_BLACKLIST_SQL,

@@ -124,6 +124,26 @@ def test_lsh_candidates_empty_and_singletons():
     assert len(pairs) == 0
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_sequence_pack_invariants():
+    """Greedy packing: all tokens conserved, no bin exceeds capacity except
+    single-oversized-doc bins, bin ids stable across runs (determinism is
+    covered by the rows-only harness; this pins the packing semantics)."""
+    import duckdb as dd
+
+    from scraper_ray.pipelines.queries import q_sequence_pack
+
+    df = q_sequence_pack(SF_DIR, capacity=2048)
+    con = dd.connect()
+    total = con.execute(
+        f"SELECT sum(len(string_split(text,' '))) FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchone()[0]
+    assert int(df["n_tokens"].sum()) == int(total)
+    assert (((df["n_tokens"] <= 2048) | (df["n_docs"] == 1)).all())
+    assert df["bin_id"].is_unique
+    assert (df["fill_ratio"] <= 1.0).all() and (df["fill_ratio"] > 0).all()
+
+
 def test_lang_id_detector_on_real_text():
     """The testdata ``lang`` labels are random (all rows share the same
     English-ish vocabulary), so accuracy-vs-label is not meaningful there;
