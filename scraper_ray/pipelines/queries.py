@@ -1493,7 +1493,9 @@ def q_sequence_pack(sf_dir: str, capacity: int = 2048, num_parts: int = 32):
     sequential by nature, so documents are hash-partitioned and packed
     greedily WITHIN each partition (bin ids are (partition, local_bin) —
     globally unique, deterministic, independent of parallelism). Returns
-    per-bin stats: (bin_id, n_docs, n_tokens, fill_ratio)."""
+    per-bin stats: (bin_id, n_docs, n_tokens, fill_ratio). The per-row
+    packing loop is O(rows) simple adds per partition and partitions pack
+    in parallel — the sequential dependency is inside a partition only."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tokens(t: pa.Table) -> pa.Table:
