@@ -1124,7 +1124,12 @@ def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5,
         extra_col=[f"sk{w}" for w in range(nwords)],
         pair_filter=sketch_close)
 
-    vec_type = pa.list_(pa.float32())
+    # float64 end-to-end: the DuckDB oracle computes list_cosine_similarity
+    # on the original float64 values, so a float32 cast here could flip a
+    # pair sitting within ~1e-7 of the rounded threshold boundary — the
+    # exact-verify arithmetic must match the oracle bit-for-bit, leaving
+    # only the (documented) probabilistic recall risk
+    vec_type = pa.list_(pa.float64())
     lut = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
     with_a = _bucket_attach(cand, _PAIR_SCHEMA, lut, "vec_id", "embedding",
                             "id_a", "vec_a", vec_type, dedupe=True)

@@ -152,7 +152,12 @@ class HTTPDownloader(Downloader):
         self.user_agent = user_agent
         self.obey_robots = obey_robots
         self.html_mode = True
-        self._robots: dict = {}  # host -> list of disallowed path prefixes
+        # (scheme, host) -> list of disallowed path prefixes. Keyed by scheme
+        # too: with a host-only key, the scheme of the FIRST URL seen for a
+        # host would permanently decide the robots probe scheme — a host
+        # first crawled over http whose robots.txt is https-only would fail
+        # open for all later https URLs.
+        self._robots: dict = {}
         self._reset_payloads()
 
     def _reset_payloads(self):
@@ -193,25 +198,28 @@ class HTTPDownloader(Downloader):
 
     def _robots_disallows(self, host: str, path: str,
                           scheme: str = "http") -> bool:
-        """robots.txt check with a per-host fetch-once cache, requested
-        over the SAME scheme as the page (an https-only host would reject a
-        plain-http robots probe and silently fail open otherwise). The
+        """robots.txt check with a per-(scheme, host) fetch-once cache,
+        requested over the SAME scheme as the page (an https-only host would
+        reject a plain-http robots probe and silently fail open otherwise;
+        caching by host alone would let the first URL's scheme decide the
+        probe scheme for the host forever). The
         robots fetch itself goes through the token bucket (it is a
         request); a failed or unparseable robots.txt means allow-all (the
         conventional fail-open reading)."""
-        rules = self._robots.get(host)
+        scheme = scheme or "http"
+        rules = self._robots.get((scheme, host))
         if rules is None:
             self.bucket.acquire(host, sleep=self._sleep)
             try:
                 status, _ctype, body = self._get(
-                    f"{scheme or 'http'}://{host}/robots.txt")
+                    f"{scheme}://{host}/robots.txt")
                 rules = (self._parse_robots(body.decode("utf-8", "replace"))
                          if status == 200 else [])
             except NotImplementedError:
                 raise
             except Exception:
                 rules = []
-            self._robots[host] = rules
+            self._robots[(scheme, host)] = rules
         return any(path.startswith(r) for r in rules)
 
     @staticmethod
@@ -219,6 +227,13 @@ class HTTPDownloader(Downloader):
         if status >= 500:
             return "ServerError"
         if status >= 400:
+            return "InvalidPage"
+        if status >= 300:
+            # a redirect reaching this skeleton means the plugged client has
+            # redirect-following disabled (requests/httpx follow by default);
+            # the Location body is NOT the page — record it, never store the
+            # redirect body as a payload (mapped to Download::InvalidPage →
+            # ERR row, the closest kind in the reference taxonomy)
             return "InvalidPage"
         return ""
 

@@ -181,14 +181,21 @@ class Fetcher:
         err_kinds = np.asarray(pb.error_kind, dtype=object)
         ok = err_kinds == ""
         idxs = pb.payload_idx
+        # ok-with-no-payload (idx < 0) is part of the PageBatch contract
+        # (fetch_one returns ('', -1, body) for payload-less pages): never
+        # index the store with a negative handle — Python's negative indexing
+        # would silently attach the LAST page's payload (see the fetch_one
+        # fix above; this mirrors it for the batch path)
+        has_payload = ok & (idxs >= 0)
         if self.verify_decode:
             bad = np.zeros(n, dtype=bool)
-            for i in np.nonzero(ok)[0]:
+            for i in np.nonzero(has_payload)[0]:
                 if not self._verify(int(idxs[i])):
                     bad[i] = True
             if bad.any():
                 err_kinds = np.where(bad, "DecodeError", err_kinds)
                 ok &= ~bad
+                has_payload &= ~bad
         tv2 = time.perf_counter()
         if os.environ.get("SCRAPER_RAY_DEBUG_TIMING"):
             import sys
@@ -196,16 +203,17 @@ class Fetcher:
             print(f"[fetchtiming] r={self.round_idx} rows={n} "
                   f"pagegen={tv1 - tv0:.3f} verify={tv2 - tv1:.3f}",
                   file=sys.stderr, flush=True)
+        hp = has_payload
         cols = {
             "error_kind": err_kinds.tolist(),
             "body": [""] * n,
-            "image_id": [dl.image_id[idxs[i]] if ok[i] else None for i in range(n)],
-            "bytes": [dl.blob[idxs[i]] if ok[i] else None for i in range(n)],
-            "w": [dl.w[idxs[i]] if ok[i] else None for i in range(n)],
-            "h": [dl.h[idxs[i]] if ok[i] else None for i in range(n)],
-            "fmt": [dl.fmt[idxs[i]] if ok[i] else None for i in range(n)],
-            "caption": [dl.caption[idxs[i]] if ok[i] else None for i in range(n)],
-            "phash": [dl.phash[idxs[i]] if ok[i] else None for i in range(n)],
+            "image_id": [dl.image_id[idxs[i]] if hp[i] else None for i in range(n)],
+            "bytes": [dl.blob[idxs[i]] if hp[i] else None for i in range(n)],
+            "w": [dl.w[idxs[i]] if hp[i] else None for i in range(n)],
+            "h": [dl.h[idxs[i]] if hp[i] else None for i in range(n)],
+            "fmt": [dl.fmt[idxs[i]] if hp[i] else None for i in range(n)],
+            "caption": [dl.caption[idxs[i]] if hp[i] else None for i in range(n)],
+            "phash": [dl.phash[idxs[i]] if hp[i] else None for i in range(n)],
             "links": [pb.links[i] if ok[i] else [] for i in range(n)],
         }
         ms = (time.perf_counter() - t0) * 1000.0
@@ -501,10 +509,14 @@ class WaveWorkerPool(WaveWorker):
         err_kinds = np.asarray(pb.error_kind, dtype=object)
         ok = err_kinds == ""
         img_idx = pb.payload_idx
+        # PageBatch contract: ok rows may carry no payload (idx < 0) — never
+        # index the store with a negative handle (mirrors _call_vectorized)
+        has_payload = ok & (img_idx >= 0)
         if self.verify_decode:
-            for i in np.nonzero(ok)[0]:
+            for i in np.nonzero(has_payload)[0]:
                 if not self._verify(int(img_idx[i])):
                     ok[i] = False
+                    has_payload[i] = False
                     err_kinds[i] = "DecodeError"
         dl_ms = (time.perf_counter() - t_all0) * 1000.0
 
@@ -512,19 +524,23 @@ class WaveWorkerPool(WaveWorker):
         t_build = t_write = 0.0
         ok_idx = np.nonzero(ok)[0]
         if len(ok_idx):
-            gi = img_idx[ok_idx]
+            gi = [int(img_idx[i]) if has_payload[i] else -1 for i in ok_idx]
             archive = pa.table({
                 "url": pa.array([urls[i] for i in ok_idx], pa.string()),
                 "host": pa.array([hosts[i] for i in ok_idx], pa.string()),
                 "round": pa.array([self.round_idx] * len(ok_idx), pa.int32()),
                 "depth": pa.array([depths[i] for i in ok_idx], pa.int32()),
-                "image_id": [dl.image_id[j] for j in gi],
-                "bytes": pa.array([dl.blob[j] for j in gi], pa.binary()),
-                "w": pa.array([dl.w[j] for j in gi], pa.int32()),
-                "h": pa.array([dl.h[j] for j in gi], pa.int32()),
-                "fmt": [dl.fmt[j] for j in gi],
-                "caption": [dl.caption[j] for j in gi],
-                "phash": pa.array([dl.phash[j] for j in gi], pa.int64()),
+                "image_id": [dl.image_id[j] if j >= 0 else None for j in gi],
+                "bytes": pa.array(
+                    [dl.blob[j] if j >= 0 else None for j in gi], pa.binary()),
+                "w": pa.array(
+                    [dl.w[j] if j >= 0 else None for j in gi], pa.int32()),
+                "h": pa.array(
+                    [dl.h[j] if j >= 0 else None for j in gi], pa.int32()),
+                "fmt": [dl.fmt[j] if j >= 0 else None for j in gi],
+                "caption": [dl.caption[j] if j >= 0 else None for j in gi],
+                "phash": pa.array(
+                    [dl.phash[j] if j >= 0 else None for j in gi], pa.int64()),
             })
             t_build = time.perf_counter() - t0
             append_fragment(

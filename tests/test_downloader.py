@@ -248,6 +248,73 @@ def test_http_downloader_robots_group_and_scheme():
     assert d.calls[0] == "https://s.example/robots.txt"  # https, not http
 
 
+def test_http_downloader_3xx_is_an_error_not_a_payload():
+    """A redirect status (client redirect-following disabled) must be
+    classified, never stored as the page's payload body."""
+    d = CannedHTTP(
+        {"http://h.example/moved": (301, "text/html",
+                                    b"<html>Moved</html>")},
+        rate_per_sec=1000.0, burst=1000.0, obey_robots=False,
+        clock=lambda: 0.0, sleep=lambda s: None,
+    )
+    err, idx, body = d.fetch_one("http://h.example/moved")
+    assert err == "InvalidPage" and idx == -1 and body == ""
+    assert d.blob == []  # redirect body never entered the payload store
+    pb = d.fetch_batch(["http://h.example/moved"], ["h.example"])
+    assert pb.error_kind == ["InvalidPage"] and pb.payload_idx[0] == -1
+
+
+def test_http_downloader_robots_cache_is_scheme_keyed():
+    """A host first crawled over http must still probe the https robots.txt
+    for later https URLs (host-only caching would fail open forever)."""
+    robots = b"User-agent: *\nDisallow: /private/\n"
+    d = CannedHTTP(
+        {
+            # http robots: broken (connection error) → http fails open
+            "http://m.example/robots.txt": ConnectionError("no http"),
+            "http://m.example/private/a": (200, "text/html", b""),
+            # https robots: present and disallows /private/
+            "https://m.example/robots.txt": (200, "text/plain", robots),
+        },
+        rate_per_sec=1000.0, burst=1000.0,
+        clock=lambda: 0.0, sleep=lambda s: None,
+    )
+    assert d.fetch_one("http://m.example/private/a")[0] == ""  # fails open
+    assert d.fetch_one("https://m.example/private/b")[0] == "RobotsDisallowed"
+    assert "https://m.example/robots.txt" in d.calls
+
+
+def test_fetcher_batch_paths_guard_payload_less_ok_rows():
+    """fetch_batch returning ('', idx=-1) rows (ok, no payload) must yield
+    None payload columns in BOTH batch paths — never index the store with a
+    negative handle (which silently attaches the LAST page's payload)."""
+
+    class MixedDirect(FakeHtmlDownloader):
+        html_mode = False
+
+        def __init__(self):
+            super().__init__()
+            self.image_id = ["img-0"]  # fixture-shaped id (verify path)
+
+        def fetch_batch(self, urls, hosts):
+            # row 0: ok with payload 0; row 1: ok with NO payload
+            idx = np.array([0, -1], dtype=np.int64)
+            return PageBatch(idx, [["http://a.example/n"], []], ["", ""])
+
+    f = Fetcher(downloader=MixedDirect())
+    out = f(_batch(["http://a.example/img", "http://a.example/plain"]))
+    assert out["error_kind"].to_pylist() == ["", ""]
+    assert out["image_id"].to_pylist() == ["img-0", None]
+    assert out["bytes"].to_pylist() == [b"\x01\x02", None]
+    # verify_decode must skip the payload-less row (nothing to verify) and
+    # must not mark it DecodeError
+    f2 = Fetcher(downloader=MixedDirect(), verify_decode=True)
+    out2 = f2(_batch(["http://a.example/img", "http://a.example/plain"]))
+    # the fake blob fails decode → row 0 DecodeError; the payload-less ok
+    # row was skipped by verification and stays ok
+    assert out2["error_kind"].to_pylist() == ["DecodeError", ""]
+
+
 def test_http_downloader_payload_store_resets_per_fetch():
     """fetch_one must not accumulate payloads across calls (long-lived
     html-mode actors would otherwise grow without bound)."""
