@@ -14,8 +14,16 @@ Scale discipline:
 - near-dup pairs come from the LSH candidate/verify machinery in
   ``pipelines.queries`` (distributed verify, capped buckets); the drop set
   (id_b of each verified pair) is aggregate-sized and broadcast;
+- NOTHING materializes: the funnel counts (after-exact, near-dropped) ride
+  the dedup exchange as one stats row per partition (null data columns),
+  so dropped rows never move and no pass re-reads the corpus — the
+  post-dedup corpus is never pinned in the object store;
 - output is hash-partitioned parquet (``part=NNNN``), one directory per
-  partition so an interrupted run can resume by skipping finished parts.
+  partition so an interrupted run can resume by skipping finished parts; a
+  ``config.json`` sidecar is written atomically BEFORE any partition write
+  and resumes are validated against it (an interrupted run has no
+  stats.json yet, but its finished partitions must never be mixed with a
+  rerun under a different sf_dir/min_quality/num_parts).
 """
 
 from __future__ import annotations
@@ -42,19 +50,31 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     )
     from .queries import _read, q_minhash_near_dup
 
-    if out_dir and os.path.exists(os.path.join(out_dir, "stats.json")):
+    cfg = {"sf_dir": sf_dir, "min_quality": min_quality,
+           "num_parts": num_parts}
+    if out_dir:
         # resume guard (mirrors crawl.py's manifest config check): finished
         # partitions are skipped on rerun, so the config that produced them
         # must match — otherwise stale rows would silently masquerade as
-        # this run's output
-        with open(os.path.join(out_dir, "stats.json")) as f:
-            prev = json.load(f)
-        for k, v in (("min_quality", min_quality), ("num_parts", num_parts)):
-            if prev.get(k) != v:
-                raise ValueError(
-                    f"resume config mismatch on {k!r}: out_dir was written "
-                    f"with {prev.get(k)!r}, current run has {v!r}; use a "
-                    "fresh out_dir")
+        # this run's output. The sidecar is written atomically BEFORE any
+        # partition write (stats.json only lands at the END of a successful
+        # run, so it cannot guard an interrupted one).
+        os.makedirs(out_dir, exist_ok=True)
+        cfg_path = os.path.join(out_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                prev = json.load(f)
+            for k, v in cfg.items():
+                if prev.get(k) != v:
+                    raise ValueError(
+                        f"resume config mismatch on {k!r}: out_dir was "
+                        f"written with {prev.get(k)!r}, current run has "
+                        f"{v!r}; use a fresh out_dir")
+        else:
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cfg, f)
+            os.replace(tmp, cfg_path)
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
@@ -83,97 +103,124 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
 
     feat = docs.map_batches(features, batch_format="pyarrow", batch_size=1024)
 
-    # exact dedup: hash-partition on content hash, vectorized keep-first
-    # (doc_id == per-hash min) inside each partition — ONE exchange
+    # near-dup removal input: verified MinHash pairs (id_a < id_b) → drop
+    # id_b — the same operator exposed as queries.q_minhash_near_dup (ONE
+    # implementation; a drifted copy here would silently diverge from the
+    # tested pair semantics). The drop set is pair-sized → broadcast.
+    pairs = q_minhash_near_dup(sf_dir)
+    drop_ids = (sorted(set(pairs["id_b"].astype(int)))
+                if len(pairs) else [])
+    drop_ref = ray.put(drop_ids)
+
+    # exact dedup + near-dup drop + quality filter: hash-partition on
+    # content hash, then ONE vectorized pass per partition. The funnel
+    # counts (rows surviving exact dedup, near-dup drops actually applied —
+    # an id_b that was an exact-dup loser is already gone and must not be
+    # double-counted) ride the SAME exchange as one stats row per partition
+    # (marker ``_stat_exact >= 0``), so dropped rows never move downstream
+    # and nothing materializes.
     def tag_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_pkey"] = (df["h1"].to_numpy().astype(np.uint64)
                        % np.uint64(num_parts)).astype("int32")
         return df
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_filter_count(g: pd.DataFrame) -> pd.DataFrame:
         keep = g["doc_id"] == g.groupby(["h1", "h2"])["doc_id"].transform("min")
-        return g.loc[keep].drop(columns=["_pkey"])
+        g = g.loc[keep].drop(columns=["_pkey"])
+        n_exact = len(g)
+        near_hit = g["doc_id"].isin(ray.get(drop_ref))
+        n_near = int(near_hit.sum())
+        g = g.loc[~near_hit]
+        out = g.loc[g["quality"] >= min_quality].copy()
+        out["_stat_exact"] = np.int64(-1)  # -1 marks a data row
+        out["_stat_near"] = np.int64(-1)
+        stats_row = pd.DataFrame({
+            "doc_id": pd.Series([-1], dtype="int64"),
+            "text": [""], "source": [""],
+            "quality": pd.Series([0.0], dtype="float64"),
+            "lang_pred": [""],
+            "n_tokens_bpe": pd.Series([0], dtype="int64"),
+            "fingerprint": pd.Series([0], dtype="int64"),
+            "h1": pd.Series([0], dtype="int64"),
+            "h2": pd.Series([0], dtype="int64"),
+            "_stat_exact": pd.Series([n_exact], dtype="int64"),
+            "_stat_near": pd.Series([n_near], dtype="int64"),
+        })
+        return pd.concat([out, stats_row], ignore_index=True)
 
-    exact = (feat.map_batches(tag_hash, batch_format="pandas")
-             .groupby("_pkey")
-             .map_groups(keep_first, batch_format="pandas"))
-
-    # near-dup removal: verified MinHash pairs (id_a < id_b) → drop id_b —
-    # the same operator exposed as queries.q_minhash_near_dup (ONE
-    # implementation; a drifted copy here would silently diverge from the
-    # tested pair semantics). The drop set is pair-sized → broadcast.
-    pairs = q_minhash_near_dup(sf_dir)
-    drop_ids = (sorted(set(pairs["id_b"].astype(int)))
-                if len(pairs) else [])
-    drop_ref = ray.put(pa.array(drop_ids, pa.int64()))
-
-    import pyarrow.compute as pc
-
-    def near_filter(t: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)))
-        return t.filter(mask)
-
-    # materialize the dedup output ONCE — the per-doc feature pass is the
-    # dominant cost and both the count and the downstream write consume it
-    exact = exact.materialize()
-    n_after_exact = exact.count()
-    near = exact.map_batches(near_filter, batch_format="pyarrow")
-
-    # near-dup drops actually applied = drop ids still present AFTER exact
-    # dedup (an id_b that was an exact-dup loser is already gone and must
-    # not be double-counted in the funnel)
-    def count_drops(t: pa.Table) -> pa.Table:
-        hit = pc.sum(pc.cast(pc.is_in(t["doc_id"],
-                                      value_set=ray.get(drop_ref)),
-                             pa.int64())).as_py() or 0
-        return pa.table({"n": pa.array([hit], pa.int64())})
-
-    n_near_dropped = sum(
-        r["n"] for r in
-        exact.map_batches(count_drops, batch_format="pyarrow")
-        .to_pandas().to_dict("records"))
-
-    def quality_filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["quality"], min_quality))
-
-    cleaned = near.map_batches(quality_filter, batch_format="pyarrow")
+    cleaned = (feat.map_batches(tag_hash, batch_format="pandas")
+               .groupby("_pkey")
+               .map_groups(dedup_filter_count, batch_format="pandas"))
 
     n_input = docs.count()
 
-    # materialize the cleaned corpus once for count + optional write
     if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
+        # second exchange: data rows to their write partition, stats rows to
+        # a reserved sink key; the writer returns per-partition row counts,
+        # so n_kept needs no extra pass over the corpus either
+        def tag_out(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            stat = (df["_stat_exact"] >= 0).to_numpy()
+            wk = (df["doc_id"] % num_parts).astype("int32")
+            wk[stat] = np.int32(num_parts)
+            df["_wkey"] = wk
+            return df
 
         def write_part(g: pd.DataFrame) -> pd.DataFrame:
             part = int(g["_wkey"].iloc[0])
+            if part == num_parts:  # the stats sink group
+                return pd.DataFrame({
+                    "part": pd.Series([-1], dtype="int64"),
+                    "rows": pd.Series([0], dtype="int64"),
+                    "n_exact": pd.Series([int(g["_stat_exact"].sum())],
+                                         dtype="int64"),
+                    "n_near": pd.Series([int(g["_stat_near"].sum())],
+                                        dtype="int64"),
+                })
+            out = g.drop(columns=["_wkey", "_stat_exact", "_stat_near"])
             path = os.path.join(out_dir, f"part={part:04d}")
             os.makedirs(path, exist_ok=True)
             final = os.path.join(path, "data.parquet")
-            if os.path.exists(final):
-                # resume: partition already written by a previous run — the
-                # pipeline is deterministic, so skip it (atomic rename below
-                # guarantees an existing file is complete)
-                return pd.DataFrame({"part": [part],
-                                     "rows": [pq.read_metadata(final).num_rows]})
-            out = g.drop(columns=["_wkey"])
-            tmp = final + ".tmp"
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
-            os.replace(tmp, final)
-            return pd.DataFrame({"part": [part], "rows": [len(out)]})
-
-        def tag_out(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_wkey"] = (df["doc_id"] % num_parts).astype("int32")
-            return df
+            if not os.path.exists(final):
+                # resume: an existing file is complete (atomic rename) and
+                # the pipeline is deterministic — skip rewriting it; the
+                # recomputed row count equals the file's
+                tmp = final + ".tmp"
+                pq.write_table(
+                    pa.Table.from_pandas(out, preserve_index=False), tmp)
+                os.replace(tmp, final)
+            return pd.DataFrame({
+                "part": pd.Series([part], dtype="int64"),
+                "rows": pd.Series([len(out)], dtype="int64"),
+                "n_exact": pd.Series([0], dtype="int64"),
+                "n_near": pd.Series([0], dtype="int64"),
+            })
 
         written = (cleaned.map_batches(tag_out, batch_format="pandas")
                    .groupby("_wkey")
                    .map_groups(write_part, batch_format="pandas")
                    .to_pandas())
         n_kept = int(written["rows"].sum())
+        n_after_exact = int(written["n_exact"].sum())
+        n_near_dropped = int(written["n_near"].sum())
     else:
-        n_kept = cleaned.count()
+        # stats-only consumption: per-batch partial counts → tiny merge
+        def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+            stat = df["_stat_exact"] >= 0
+            return pd.DataFrame({
+                "n_exact": pd.Series([int(df.loc[stat, "_stat_exact"].sum())],
+                                     dtype="int64"),
+                "n_near": pd.Series([int(df.loc[stat, "_stat_near"].sum())],
+                                    dtype="int64"),
+                "n_kept": pd.Series([int((~stat).sum())], dtype="int64"),
+            })
+
+        sums = (cleaned.map_batches(partial_counts, batch_format="pandas")
+                .to_pandas().sum())
+        n_kept = int(sums["n_kept"])
+        n_after_exact = int(sums["n_exact"])
+        n_near_dropped = int(sums["n_near"])
 
     stats = {
         "n_input": int(n_input),

@@ -64,6 +64,28 @@ def test_corpus_resume_config_mismatch_refused(tmp_path):
         clean_corpus(SF_DIR, out, min_quality=0.9)
     with pytest.raises(ValueError, match="resume config mismatch"):
         clean_corpus(SF_DIR, out, num_parts=8)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        clean_corpus("/root/testdata/sf0.01", out)  # sf_dir is checked too
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_interrupted_run_still_guarded(tmp_path):
+    """The config sidecar lands BEFORE any partition write, so a run
+    interrupted before stats.json (which is only written at the END) still
+    refuses a mismatched rerun — finished part files from the old config
+    can never silently mix into a rerun's output."""
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = str(tmp_path / "corpus")
+    clean_corpus(SF_DIR, out, min_quality=0.3)
+    # simulate the interruption: partitions exist, stats.json does not
+    os.remove(os.path.join(out, "stats.json"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        clean_corpus(SF_DIR, out, min_quality=0.9)
+    # matching config resumes fine
+    s = clean_corpus(SF_DIR, out, min_quality=0.3)
+    assert s["n_kept"] >= 0 and os.path.exists(os.path.join(out, "stats.json"))
 
 
 @pytest.mark.usefixtures("ray_session")
