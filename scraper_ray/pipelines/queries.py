@@ -154,30 +154,108 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 # 2. broadcast (small-side) join + top-k sort: the reference's filter-list
 #    broadcast pattern applied to a dimension join
 
-def q_top_building_orders(sf_dir: str):
+#: Max distinct keys a semi/anti-join build side may broadcast. Above this
+#: the key set is no longer "a dimension" (at 100× scale a seen-set analog
+#: is millions of keys) and the bucketed-exchange join path is used instead
+#: — broadcasting it would be a driver/worker OOM pattern.
+BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _collect_keys(ds, col: str, limit: int = BROADCAST_KEY_LIMIT):
+    """Distributed distinct-key build for broadcast join sides: each batch
+    emits its DISTINCT keys (a narrow int64 column — never the table, never
+    a driver-side ``.to_pandas()`` of the input), and the driver merges the
+    aggregate-sized partials. Returns a sorted ``pa.Array``, or ``None``
+    once the distinct count exceeds ``limit`` — the caller must fall back
+    to the bucketed-exchange join path."""
+    parts = ds.map_batches(
+        lambda t: pa.table({col: pc.unique(t[col]).cast(pa.int64())}),
+        batch_format="pyarrow")
+    arrs: list[np.ndarray] = []
+    total = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        a = b[col].to_numpy(zero_copy_only=False)
+        arrs.append(a)
+        total += len(a)
+        if total > 4 * limit:  # pathological stream: bail before merging
+            return None
+    if not arrs:
+        return pa.array([], pa.int64())
+    merged = np.unique(np.concatenate(arrs))
+    if len(merged) > limit:
+        return None
+    return pa.array(merged, pa.int64())
+
+
+def _attach_flag(fact_ds, fact_schema: pa.Schema, key_ds, key_col_lookup: str,
+                 key_col_fact: str):
+    """Bucketed-exchange semi/anti-join feed: attach ``flag`` (1 / null) to
+    fact rows whose ``key_col_fact`` appears in ``key_ds[key_col_lookup]``
+    — the fallback when the build side is too large to broadcast."""
+    def distinct_flag(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[key_col_lookup]).cast(pa.int64())
+        return pa.table({key_col_lookup: u,
+                         "flag": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    flagged = key_ds.map_batches(distinct_flag, batch_format="pyarrow")
+    return _bucket_attach(fact_ds, fact_schema, flagged, key_col_lookup,
+                          "flag", key_col_fact, "flag", pa.int64())
+
+
+def q_top_building_orders(sf_dir: str,
+                          broadcast_limit: int = BROADCAST_KEY_LIMIT):
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = sorted(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    # build the Arrow value_set ONCE and broadcast it — rebuilding it per
-    # batch is O(|keys|) repeated work on every batch
-    keys_ref = ray.put(pa.array(keys, pa.int64()))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    def flt(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref))
-        return t.filter(mask)
+    def building_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"])
 
-    def flt_topk(t: pa.Table) -> pa.Table:
+    keys_ds = cust.map_batches(building_keys, batch_format="pyarrow")
+    keys_arr = _collect_keys(keys_ds, "c_custkey", broadcast_limit)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(t: pa.Table) -> pa.Table:
         # partial top-k per batch: a global sort for a top-10 moves every
         # row through an all-to-all; partials shrink each batch to ≤10 rows
         # and the driver merges nbatches×10 rows
-        t = flt(t)
         idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending"),
                                             ("o_orderkey", "ascending")])
         return t.take(idx[:10])
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    parts = ds.map_batches(flt_topk, batch_format="pyarrow").to_pandas()
+    if keys_arr is not None:
+        # dimension-sized build side: broadcast the Arrow value_set ONCE —
+        # rebuilding it per batch is O(|keys|) repeated work on every batch
+        keys_ref = ray.put(keys_arr)
+
+        def flt_topk(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref))
+            return topk(t.filter(mask))
+
+        joined = ds.map_batches(flt_topk, batch_format="pyarrow")
+    else:
+        # build side too large to broadcast: bucketed-exchange semi-join,
+        # then the same per-batch top-k partials over the surviving rows
+        o_schema = pa.schema([pa.field("o_orderkey", pa.int64()),
+                              pa.field("o_custkey", pa.int64()),
+                              pa.field("o_totalprice", pa.float64())])
+        flagged = _attach_flag(ds, o_schema, keys_ds, "c_custkey",
+                               "o_custkey")
+
+        def keep_topk(df: pd.DataFrame) -> pa.Table:
+            df = df[df["flag"].notna()]
+            # re-int the key columns (the bucketed union carries nulls on
+            # the lookup side, float-ifying pandas int columns)
+            return topk(pa.table({
+                "o_orderkey": pa.array(df["o_orderkey"].astype("int64")),
+                "o_custkey": pa.array(df["o_custkey"].astype("int64")),
+                "o_totalprice": pa.array(df["o_totalprice"].astype("float64")),
+            }))
+
+        joined = flagged.map_batches(keep_topk, batch_format="pandas")
+
+    parts = joined.to_pandas()
     parts = parts.sort_values(["o_totalprice", "o_orderkey"],
                               ascending=[False, True]).head(10)
     df = parts[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
@@ -378,26 +456,56 @@ GROUP BY n_name
 # 4. anti-join vs a broadcast key set — the crawl engine's cull_known (J1)
 #    expressed over testdata (reference rmqredis.rs:267-290)
 
-def q_cull_known(sf_dir: str):
+def q_cull_known(sf_dir: str, broadcast_limit: int = BROADCAST_KEY_LIMIT):
     import ray
+    from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
-    seen = sorted(cust.loc[cust["c_acctbal"] < 0, "c_custkey"])  # the "seen set"
-    seen_ref = ray.put(pa.array(seen, pa.int64()))
-
-    def cull(t: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(t["o_custkey"], value_set=ray.get(seen_ref)))
-        return t.filter(mask)
-
-    from ray.data.aggregate import Count
+    # the "seen set": built DISTRIBUTEDLY (per-batch distinct key partials →
+    # small driver merge — never a full-table driver read); above
+    # ``broadcast_limit`` keys the bucketed-exchange anti-join runs instead
+    # (a crawl-scale seen set is millions of keys — broadcasting it is the
+    # driver-OOM pattern; the engine's real cull path is shard-based,
+    # state/shard.py, and unaffected either way)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    seen_ds = cust.map_batches(
+        lambda t: t.filter(pc.less(t["c_acctbal"], 0)).select(["c_custkey"]),
+        batch_format="pyarrow")
+    seen_arr = _collect_keys(seen_ds, "c_custkey", broadcast_limit)
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
-    out = (
-        ds.map_batches(cull, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n_orders"))
-    )
-    df = out.to_pandas()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderstatus").aggregate(
+            [("o_orderstatus", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "n": g["o_orderstatus_count"].cast(pa.int64())})
+
+    if seen_arr is not None:
+        seen_ref = ray.put(seen_arr)
+
+        def cull(t: pa.Table) -> pa.Table:
+            mask = pc.invert(
+                pc.is_in(t["o_custkey"], value_set=ray.get(seen_ref)))
+            return count_partial(t.filter(mask))
+
+        partials = ds.map_batches(cull, batch_format="pyarrow")
+    else:
+        o_schema = pa.schema([pa.field("o_orderkey", pa.int64()),
+                              pa.field("o_custkey", pa.int64()),
+                              pa.field("o_orderstatus", pa.string())])
+        flagged = _attach_flag(ds, o_schema, seen_ds, "c_custkey",
+                               "o_custkey")
+
+        def anti_partial(df: pd.DataFrame) -> pa.Table:
+            df = df[df["flag"].isna()]
+            return count_partial(pa.Table.from_pandas(
+                df[["o_orderstatus"]], preserve_index=False))
+
+        partials = flagged.map_batches(anti_partial, batch_format="pandas")
+
+    df = (partials.groupby("o_orderstatus")
+          .aggregate(Sum("n", alias_name="n_orders"))
+          .to_pandas())
     df["n_orders"] = df["n_orders"].astype("int64")
     return df
 

@@ -87,6 +87,20 @@ def test_embedding_near_dup_finds_the_qualifying_pair_at_sf001():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_broadcast_build_side_fallback_matches():
+    """Forcing the build side over the broadcast threshold must route both
+    semi/anti-join queries through the bucketed-exchange path and produce
+    identical results — the guard against the driver-OOM broadcast pattern
+    at 100× the 'seen set' size is behaviour-preserving."""
+    from scraper_ray.pipelines.queries import q_cull_known, q_top_building_orders
+
+    for q in (q_top_building_orders, q_cull_known):
+        bc = _norm(q(SF_DIR))
+        bucketed = _norm(q(SF_DIR, broadcast_limit=1))
+        pd.testing.assert_frame_equal(bc, bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lsh_bucket_cap_bounds_pair_explosion():
     """A degenerate bucket (many identical docs) is truncated to the cap —
     pair output is O(cap²), not O(members²) — and capping is deterministic
