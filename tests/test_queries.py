@@ -103,12 +103,16 @@ def test_broadcast_build_side_fallback_matches():
 @pytest.mark.usefixtures("ray_session")
 def test_lsh_bucket_cap_bounds_pair_explosion():
     """A degenerate bucket (many identical docs) is truncated to the cap —
-    pair output is O(cap²), not O(members²) — and capping is deterministic
-    (sorted ids kept first)."""
+    pair output is O(cap²), not O(members²) — capping is deterministic
+    (sorted ids kept first), and every capped bucket emits an overflow ROW
+    (band, hash, size) so truncation is data, never silent."""
+    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
-    from scraper_ray.pipelines.queries import _lsh_candidates
+    from scraper_ray.pipelines.queries import (
+        _lsh_candidates, _lsh_overflows, _lsh_pairs,
+    )
 
     n = 40
     banded = rd.from_arrow(pa.table({
@@ -116,10 +120,22 @@ def test_lsh_bucket_cap_bounds_pair_explosion():
         "band": pa.array([0] * n, pa.int32()),
         "band_hash": pa.array([12345] * n, pa.uint64()),
     }))
-    pairs = _lsh_candidates(banded, bucket_cap=10).to_pandas()
+    cand = _lsh_candidates(banded, bucket_cap=10)
+    pairs = _lsh_pairs(cand).to_pandas()
     assert len(pairs) == 45  # C(10,2), not C(40,2)=780
     kept_ids = set(pairs["id_a"]) | set(pairs["id_b"])
     assert kept_ids == set(range(10))  # sorted-prefix, deterministic
+    # the capped bucket is surfaced as an overflow row with its identity
+    ov = _lsh_overflows(
+        _lsh_candidates(banded, bucket_cap=10)).to_pandas()
+    assert len(ov) == 1
+    assert ov["ov_band"].tolist() == [0]
+    assert ov["ov_size"].tolist() == [n]
+    assert np.uint64(np.int64(ov["ov_hash"].iloc[0])) == np.uint64(12345)
+    # an uncapped run emits no overflow rows
+    ov_none = _lsh_overflows(
+        _lsh_candidates(banded, bucket_cap=1024)).to_pandas()
+    assert len(ov_none) == 0
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -127,14 +143,14 @@ def test_lsh_candidates_empty_and_singletons():
     import pyarrow as pa
     import ray.data as rd
 
-    from scraper_ray.pipelines.queries import _lsh_candidates
+    from scraper_ray.pipelines.queries import _lsh_candidates, _lsh_pairs
 
     banded = rd.from_arrow(pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
         "band": pa.array([0, 0, 0], pa.int32()),
         "band_hash": pa.array([1, 2, 3], pa.uint64()),  # all singleton buckets
     }))
-    pairs = _lsh_candidates(banded).to_pandas()
+    pairs = _lsh_pairs(_lsh_candidates(banded)).to_pandas()
     assert len(pairs) == 0
 
 
