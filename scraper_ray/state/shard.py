@@ -68,6 +68,13 @@ class StateShard:
         self.spill_dir = spill_dir
         self._spill_files: list[str] = []
         self._spilled_rows = 0
+        # cold-frontier fence: host -> max priority among its spilled rows.
+        # A drain can provably skip unspilling a host whose in-memory top-k
+        # all strictly outrank the fence (see drain()); this is what lets a
+        # 10^10-row frontier's cold tier SURVIVE drains instead of paying a
+        # full unspill-read every wave.
+        self._spill_fence: dict[str, float] = {}
+        self.unspill_events = 0
         self.spill_events = 0
         self.spilled_rows_total = 0
         self.inserted_total = 0
@@ -210,15 +217,38 @@ class StateShard:
         slice in parallel and the driver never concat+sorts the wave.
         """
         if self._spill_files:
-            # fold spill back in before ANY drain: spilled rows may outrank
-            # both a host whose in-memory heap runs dry and rows inserted
-            # after the spill, so draining around them breaks deterministic
-            # order (and can starve spilled URLs forever when their host
-            # drops out of `pending`). Spill therefore bounds memory during
-            # the insert storm of a wave; a persistent cold frontier tier
-            # that survives drains is future work (needs per-host priority
-            # fences).
-            self._unspill()
+            # selective unspill via per-host priority fences: a host's
+            # spilled rows all have priority <= its fence, so if the host's
+            # in-memory heap can cover this drain's whole token budget with
+            # rows STRICTLY above the fence, the drained set is provably
+            # identical to the always-unspill result (strictness matters:
+            # at a priority tie the url tiebreak could promote a spilled
+            # row). Hosts that fail the check — including hosts with no
+            # in-memory rows at all — are folded back in; the rest of the
+            # cold tier survives the drain untouched (zero I/O in the
+            # common all-cold case). Byte-equality with the always-unspill
+            # drain is pinned by test_spill_is_order_transparent and
+            # test_shard.py's fence tests.
+            need: set[str] = set()
+            for host, fence in self._spill_fence.items():
+                heap = self.pending.get(host)
+                if not heap:
+                    need.add(host)
+                    continue
+                toks = self.tokens.get(host, 0.0)
+                k = int(min(self.burst, toks + self.rate) if refill else toks)
+                if max_rows is not None:
+                    k = min(k, max_rows)
+                if k <= 0:
+                    continue  # no rows releasable for this host this wave
+                if len(heap) < k:
+                    need.add(host)
+                    continue
+                kth_best_prio = -heapq.nsmallest(k, heap)[-1][0]
+                if kth_best_prio <= fence:
+                    need.add(host)
+            if need:
+                self._unspill(need)
         rows: list[tuple[float, str, str, int]] = []
         budget_left = max_rows if max_rows is not None else 1 << 62
         if refill:
@@ -276,6 +306,7 @@ class StateShard:
             "pending": self.pending_count,
             "spill_files": len(self._spill_files),
             "spill_events": self.spill_events,
+            "unspill_events": self.unspill_events,
             "spilled_rows_total": self.spilled_rows_total,
             "seen": len(self.seen),
             "seen_bytes": self.seen.nbytes(),
@@ -314,6 +345,11 @@ class StateShard:
             keep, cold = items[: len(items) // 2], items[len(items) // 2 :]
             self.pending[host] = keep
             heapq.heapify(self.pending[host])
+            # fence = max spilled priority for the host (cold[0] is the
+            # best of the cold half); drains consult it to decide whether
+            # this host's spill can stay cold
+            self._spill_fence[host] = max(self._spill_fence.get(host, -np.inf),
+                                          -cold[0][0])
             for negp, url, depth in cold:
                 urls.append(url)
                 hosts.append(host)
@@ -340,12 +376,26 @@ class StateShard:
         self.spill_events += 1
         self.spilled_rows_total += len(urls)
 
-    def _unspill(self) -> None:
+    def _unspill(self, hosts: set | None = None) -> None:
+        """Fold spilled rows back into the in-memory heaps. ``hosts=None``
+        folds everything (checkpoint snapshots); a host set folds only
+        those hosts' rows and REWRITES the remainder to a fresh spill file
+        — bounded I/O proportional to the spill size, paid only on drains
+        where some fence actually fails."""
         files, self._spill_files = self._spill_files, []
-        self._spilled_rows = 0
+        keep_t: list[pa.Table] = []
+        self.unspill_events += 1
         for path in files:
             t = pq.read_table(path)
             os.remove(path)
+            if hosts is not None:
+                mask = np.isin(
+                    np.asarray(t["host"].to_pylist(), dtype=object),
+                    list(hosts))
+                keep = t.filter(pa.array(~mask))
+                if keep.num_rows:
+                    keep_t.append(keep)
+                t = t.filter(pa.array(mask))
             for url, host, prio, depth in zip(
                 t["url"].to_pylist(),
                 t["host"].to_pylist(),
@@ -356,6 +406,21 @@ class StateShard:
                     self.pending.setdefault(host, []), (-prio, url, depth)
                 )
                 self.pending_count += 1
+                self._spilled_rows -= 1
+        if hosts is None:
+            self._spilled_rows = 0
+            self._spill_fence = {}
+        else:
+            for h in hosts:
+                self._spill_fence.pop(h, None)
+            if keep_t:
+                merged = pa.concat_tables(keep_t)
+                path = os.path.join(
+                    self.spill_dir,
+                    f"part{self.part:04d}-spill{self.spill_events:04d}"
+                    f"-r{self.unspill_events:04d}.parquet")
+                pq.write_table(merged, path)
+                self._spill_files.append(path)
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, ckpt_dir: str) -> str:

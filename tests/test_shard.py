@@ -86,3 +86,101 @@ def test_checkpoint_restore_roundtrip(tmp_path):
         # both drain identically from here
         a, b = sh.drain(), sh2.drain()
         assert a.equals(b)
+
+
+# -- cold-frontier fence tests (drain-surviving spill tier) ------------------
+
+import pyarrow as pa
+
+
+def _finsert(sh, rows):
+    """frontier_insert with explicit (url, host, priority) rows."""
+    sh.frontier_insert(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "host": pa.array([r[1] for r in rows], pa.string()),
+        "priority": pa.array([r[2] for r in rows], pa.float32()),
+        "depth": pa.array([0] * len(rows), pa.int32()),
+    }))
+
+
+def test_drain_skips_cold_spill_when_fence_is_beaten(tmp_path):
+    """A drain whose per-host in-memory top-k strictly outranks the spill
+    fence must release the identical rows WITHOUT touching the spill files
+    — the cold tier survives the drain (zero unspill I/O)."""
+    sh = StateShard(0, 1, rate=2, burst=2, spill_threshold=1 << 40,
+                    spill_dir=str(tmp_path / "s"))
+    _finsert(sh, [(f"http://a.test/cold{i}", "a.test", 0.01 * i)
+                  for i in range(10)])
+    sh._spill()  # cold half (lowest 5 priorities) goes to parquet
+    assert sh._spill_files and sh._spilled_rows == 5
+    fence = sh._spill_fence["a.test"]
+    _finsert(sh, [(f"http://a.test/hot{i}", "a.test", 0.9 + 0.01 * i)
+                  for i in range(5)])
+    t = sh.drain()
+    assert t["url"].to_pylist() == ["http://a.test/hot4", "http://a.test/hot3"]
+    assert sh.unspill_events == 0          # the drain did NOT unspill
+    assert sh._spill_files                 # cold tier intact
+    assert sh._spill_fence["a.test"] == fence
+    # keep draining: once the above-fence rows run out the fence check
+    # fails and the cold rows fold back in — nothing is ever starved
+    got = []
+    for _ in range(20):
+        t = sh.drain()
+        if t.num_rows == 0 and sh.frontier_size() == 0:
+            break
+        got.extend(t["url"].to_pylist())
+    assert sh.frontier_size() == 0
+    assert len(got) == 13 and sh.unspill_events >= 1
+
+
+def test_fence_drains_match_always_unspill_reference(tmp_path):
+    """Wave-by-wave byte-equality between a shard that spills (with fence
+    ties across the memory/spill boundary — the case that forces the
+    strict-inequality check) and a never-spilled reference."""
+    rows = []
+    for i in range(12):
+        rows.append((f"http://a.test/x{i}", "a.test", 0.5))   # all tied
+    for i in range(8):
+        rows.append((f"http://b.test/y{i}", "b.test", 0.1 * (i % 4)))
+    ref = StateShard(0, 1, rate=3, burst=3)
+    spl = StateShard(0, 1, rate=3, burst=3, spill_threshold=1 << 40,
+                     spill_dir=str(tmp_path / "s"))
+    _finsert(ref, rows)
+    _finsert(spl, rows)
+    spl._spill()
+    for wave in range(10):
+        a, b = ref.drain(), spl.drain()
+        assert a.equals(b), f"wave {wave} diverged"
+        if wave == 3:  # re-spill mid-stream: fences must recompute
+            spl._spill()
+    assert ref.frontier_size() == spl.frontier_size() == 0
+
+
+def test_fence_unspill_rewrites_only_needed_hosts(tmp_path):
+    """Selective unspill folds back only the hosts whose fence failed and
+    rewrites the remainder — other hosts' cold rows stay spilled."""
+    sh = StateShard(0, 1, rate=2, burst=2, spill_threshold=1 << 40,
+                    spill_dir=str(tmp_path / "s"))
+    _finsert(sh, [(f"http://a.test/a{i}", "a.test", 0.01 * i)
+                  for i in range(6)])
+    _finsert(sh, [(f"http://b.test/b{i}", "b.test", 0.01 * i)
+                  for i in range(6)])
+    sh._spill()
+    # host a gets fresh hot rows (fence beaten); host b does not, so b's
+    # heap (3 in-memory rows, k=2, top-2 prio > its own fence...) — force
+    # b's fence to fail by draining its memory rows down first
+    _finsert(sh, [(f"http://a.test/hot{i}", "a.test", 1.0 + 0.01 * i)
+                  for i in range(4)])
+    sh.drain()  # b releases its top-2 memory rows; 1 memory row left < k=2
+    assert sh.unspill_events == 0
+    t = sh.drain()  # now b must unspill; a still has hot rows above fence
+    assert sh.unspill_events == 1
+    assert "b.test" not in sh._spill_fence     # b folded back in
+    assert "a.test" in sh._spill_fence         # a's cold tier survived
+    assert sh._spill_files                      # rewritten remainder exists
+    hosts_left = set()
+    import pyarrow.parquet as pq_
+    for f in sh._spill_files:
+        hosts_left |= set(pq_.read_table(f)["host"].to_pylist())
+    assert hosts_left == {"a.test"}
+    assert t.num_rows > 0
