@@ -164,8 +164,13 @@ def _seed_shards(cfg: CrawlConfig, shards, filt: HostFilter):
 
 
 def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
-              resume: bool = False) -> dict:
-    """Run (or resume) a crawl; returns the lineage/metrics summary dict."""
+              resume: bool = False, downloader_factory=None) -> dict:
+    """Run (or resume) a crawl; returns the lineage/metrics summary dict.
+
+    ``downloader_factory``: optional picklable zero-arg callable building a
+    ``stages.downloader.Downloader`` INSIDE each pool actor — the seam for
+    real-HTTP deployments (pair it with ``chunk_affinity='host'`` so each
+    actor's wall-clock token buckets are the global per-host bound)."""
     import ray
 
     if cfg.chunk_affinity not in ("balanced", "host"):
@@ -213,6 +218,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             errors_dir=errors_dir,
             verify_decode=cfg.verify_decode,
             seen_partition=cfg.seen_partition,
+            downloader_factory=downloader_factory,
         )
         for _ in range(cfg.fetch_concurrency)
     ]

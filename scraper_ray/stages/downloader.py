@@ -22,6 +22,7 @@ failures → ``NetworkError``, HTTP 5xx → ``ServerError``, HTTP 4xx →
 
 from __future__ import annotations
 
+import os
 import time
 from typing import NamedTuple
 
@@ -300,3 +301,30 @@ class HTTPDownloader(Downloader):
             if not errs[i]:
                 idx[i] = self._store(u, ctype, body)
         return PageBatch(idx, links, errs)
+
+
+class RecordingHTTPDownloader(HTTPDownloader):
+    """Politeness-audit downloader: every ``_get`` appends
+    ``host<TAB>monotonic_ts`` to a per-process log under ``record_dir`` and
+    serves a deterministic same-host link tree (two child links per page;
+    404 robots) — no network. This is the end-to-end probe for the
+    wall-clock politeness contract: run a crawl with it (ideally under
+    ``chunk_affinity='host'``) and check the recorded per-host request
+    stream obeys ``requests in any window <= burst + rate * window``.
+    Used by ``tests/test_crawl_extras.py`` and as a deployment dry-run
+    ("does my affinity + bucket config actually bound per-host rates?")."""
+
+    def __init__(self, record_dir: str, **kw):
+        super().__init__(**kw)
+        self.record_dir = record_dir
+
+    def _get(self, url: str):
+        host = url.split("/")[2]
+        path = os.path.join(self.record_dir, f"{os.getpid()}.log")
+        with open(path, "a") as f:
+            f.write(f"{host}\t{time.monotonic():.6f}\n")
+        if url.endswith("/robots.txt"):
+            return (404, "text/plain", b"")
+        body = (f'<html><a href="{url}x/a">a</a>'
+                f'<a href="{url}x/b">b</a></html>').encode()
+        return (200, "text/html", body)

@@ -64,13 +64,19 @@ class Fetcher:
         fail_mod: int = 0,
         verify_decode: bool = False,
         downloader=None,
+        downloader_factory=None,
     ):
         """``downloader`` is the pluggable resolver seam
         (stages/downloader.py, mirroring `worker/src/traits.rs:46-48`);
         default = the deterministic SynthWebDownloader over the broadcast
-        images table (``ray.get`` once per actor)."""
+        images table (``ray.get`` once per actor). ``downloader_factory``
+        is the remote-friendly form: a picklable zero-arg callable invoked
+        INSIDE the actor (per-actor client state — sockets, token buckets —
+        must not be built on the driver and shipped)."""
         self.verify_decode = verify_decode
         self.round_idx = round_idx
+        if downloader is None and downloader_factory is not None:
+            downloader = downloader_factory()
         if downloader is None:
             import ray
 
@@ -410,9 +416,10 @@ class WaveWorker(Fetcher):
                  fail_mod: int, shard_handles: list, filter_cfg: dict,
                  num_parts: int, archive_dir: str, errors_dir: str,
                  verify_decode: bool = False, seen_partition: str = "host",
-                 downloader=None):
+                 downloader=None, downloader_factory=None):
         super().__init__(images_ref, web_cfg, round_idx, fail_mod,
-                         verify_decode, downloader=downloader)
+                         verify_decode, downloader=downloader,
+                         downloader_factory=downloader_factory)
         self.router = LinkRouter(shard_handles, filter_cfg, num_parts,
                                  seen_partition=seen_partition)
         self.archive_dir = archive_dir

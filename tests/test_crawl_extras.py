@@ -179,3 +179,56 @@ def test_canonicalize_fuzz_idempotent(scheme, host, rest):
     c = canonicalize(url)
     if c is not None:
         assert canonicalize(c) == c, (url, c)
+
+
+# -- end-to-end wall-clock politeness (HTTPDownloader × chunk_affinity) ------
+
+@pytest.mark.usefixtures("ray_session")
+def test_wallclock_politeness_end_to_end_host_affinity(tmp_path):
+    """run_crawl × chunk_affinity='host' × HTTPDownloader: the per-actor
+    WallClockTokenBucket is the GLOBAL per-host bound (each host maps to
+    exactly one worker), so the observed request stream per host must obey
+    requests-in-any-window <= burst + rate * window — the property
+    downloader.py promises only under host affinity, now tested through
+    the whole engine rather than on the class in isolation."""
+    import functools
+
+    from scraper_ray.stages.downloader import RecordingHTTPDownloader
+
+    rec_dir = str(tmp_path / "rec")
+    os.makedirs(rec_dir)
+    rate, burst = 60.0, 4.0
+    cfg = _cfg(tmp_path, html=True, chunk_affinity="host",
+               rate=8.0, burst=8.0,          # shard-level (semantic) budget
+               n_hosts=4, num_parts=4, max_rounds=3, fetch_concurrency=2,
+               seeds=[f"http://h{i}.test/seed" for i in range(4)])
+    res = run_crawl(cfg, build_images_table(4),
+                    downloader_factory=functools.partial(
+                        RecordingHTTPDownloader, rec_dir,
+                        rate_per_sec=rate, burst=burst))
+    assert res["pages_total"] > 8  # the link tree actually fed the crawl
+
+    by_host: dict = {}
+    host_pids: dict = {}
+    for fn in os.listdir(rec_dir):
+        pid = fn.split(".")[0]
+        with open(os.path.join(rec_dir, fn)) as f:
+            for line in f:
+                host, ts = line.split("\t")
+                by_host.setdefault(host, []).append(float(ts))
+                host_pids.setdefault(host, set()).add(pid)
+    assert by_host, "no requests recorded"
+    # host affinity: every host's requests came from exactly ONE worker
+    for host, pids in host_pids.items():
+        assert len(pids) == 1, (host, pids)
+    # token-bucket property per host over the merged wall-clock stream:
+    # any i<j span of (j-i+1) requests needs at least ((j-i+1)-burst)/rate
+    # seconds (epsilon for bucket float drift)
+    for host, ts in by_host.items():
+        ts = sorted(ts)
+        n = len(ts)
+        for i in range(n):
+            for j in range(i + 1, n):
+                max_allowed = burst + rate * (ts[j] - ts[i]) + 1.001
+                assert (j - i + 1) <= max_allowed, (
+                    host, i, j, ts[j] - ts[i])
