@@ -12,6 +12,12 @@ taskset-pinned processes (4 vs 16 cores — the sandbox stand-in for N vs 4N
 nodes; see scaling() for why not 8/32 on this noisy host), reports both
 throughputs and the scaling efficiency, and records the result in BASELINE.md.
 
+The query half runs in a fresh taskset-pinned subprocess on the 16 quietest
+cores, best-of-2 per query with per-sample steal recorded (``--queries-only``
+is that subprocess's entry) — unpinned query numbers on this host are
+steal-hostage and incomparable across rounds (r1→r2 showed ±2s phantom
+regressions).
+
 This script OWNS its Ray session (the driver contract's entry()/queries() do
 not call ray.init).
 """
@@ -103,7 +109,10 @@ def run_crawl_bench(num_cpus: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str, reps: int = 2) -> tuple[dict, dict]:
+    """Best-of-``reps`` per query with per-sample steal recorded — the same
+    quiet-window protocol as the crawl bench (r2's unpinned single-sample
+    query numbers were steal-hostage and incomparable across rounds)."""
     from scraper_ray.pipelines.queries import QUERIES
 
     # untimed warm-up: first Ray Data execution pays one-off module/executor
@@ -112,12 +121,60 @@ def run_queries(sf_dir: str) -> dict:
 
     rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                     columns=["l_orderkey"]).count()
-    out = {}
+    out, samples = {}, {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](sf_dir)
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        samples[name] = []
+        for _ in range(max(1, reps)):
+            s0 = _read_steal()
+            t0 = time.perf_counter()
+            QUERIES[name](sf_dir)
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(
+                {"sec": dt, "steal_jiffies": _read_steal() - s0})
+        out[name] = min(s["sec"] for s in samples[name])
+    return out, samples
+
+
+#: Query-bench pinning: 16 taskset-pinned quiet cores (same rationale as
+#: the scaling runs — ray.init(num_cpus=32) does not restrict cores and the
+#: host's noisy neighbours camp on ~half the vCPUs, so unpinned 32-slot
+#: numbers measure the neighbour, not the engine).
+QUERY_PIN_CORES = int(os.environ.get("QUERY_PIN_CORES", "16"))
+
+
+def run_queries_pinned(sf_dir: str) -> dict:
+    """Run the query bench in a fresh taskset-pinned subprocess on the
+    quietest cores; falls back to in-process unpinned if taskset fails."""
+    cores = ",".join(str(c) for c in _quiet_cores(QUERY_PIN_CORES))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(QUERY_PIN_CORES),
+               GRAFT_SF_DIR=sf_dir)
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", cores, sys.executable, __file__,
+             "--queries-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        rec = json.loads(out.strip().splitlines()[-1])
+        rec["pinned_cores"] = QUERY_PIN_CORES
+        return rec
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            json.JSONDecodeError):
+        q, s = run_queries(sf_dir)
+        return {"queries": q, "samples": s, "pinned_cores": 0}
+
+
+def queries_only() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    q, s = run_queries(SF_DIR)
+    print(json.dumps({"queries": q, "samples": s, "num_cpus": NUM_CPUS}))
+    ray.shutdown()
 
 
 def main() -> None:
@@ -150,7 +207,8 @@ def main() -> None:
         {"fetched_per_sec": r["fetched_per_sec"],
          "steal_jiffies": r["steal_jiffies"]} for r in samples
     ]
-    queries = run_queries(SF_DIR)
+    qrec = run_queries_pinned(SF_DIR)
+    queries = qrec["queries"]
     total = crawl["elapsed_sec"] + sum(queries.values())
     print(
         json.dumps(
@@ -159,6 +217,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": queries,
+                "query_samples": qrec.get("samples", {}),
+                "query_pinned_cores": qrec.get("pinned_cores", 0),
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "crawl": crawl,
@@ -312,5 +372,7 @@ if __name__ == "__main__":
         scaling()
     elif "--crawl-only" in sys.argv:
         crawl_only()
+    elif "--queries-only" in sys.argv:
+        queries_only()
     else:
         main()
