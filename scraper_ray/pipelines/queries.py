@@ -23,10 +23,17 @@ with many small groups must avoid per-key Python):
   coarse exchange with a vectorized pandas kernel per partition;
 - :func:`_lsh_candidates` — banded LSH rows → capped candidate pairs via
   coarse partitions + numpy run detection (optional in-bucket filter);
+  capped buckets emit overflow ROWS (split with :func:`_lsh_pairs` /
+  :func:`_lsh_overflows`) so truncation is data, never silent;
 - :func:`_bucket_attach` — explicit bucketed hash join attaching a lookup
   column onto pair rows (the distributed near-dup verify feed);
+- :func:`_collect_keys` / :func:`_attach_flag` — semi/anti-join build
+  sides: distributed distinct-key partials broadcast under
+  :data:`BROADCAST_KEY_LIMIT`, bucketed-exchange join above it;
 - :func:`_connected_components` — min-label union-find over
-  aggregate-sized pair lists (cluster formation).
+  aggregate-sized pair lists (cluster formation) — and
+  :func:`_connected_components_distributed`, the corpus-scale min-label
+  propagation over Ray Data exchanges (pinned equal).
 """
 
 from __future__ import annotations

@@ -209,17 +209,27 @@ class Fetcher:
             print(f"[fetchtiming] r={self.round_idx} rows={n} "
                   f"pagegen={tv1 - tv0:.3f} verify={tv2 - tv1:.3f}",
                   file=sys.stderr, flush=True)
-        hp = has_payload
+        if bool(np.array_equal(has_payload, ok)):
+            # fast path (the common case: every ok row has a payload) —
+            # no per-row payload conditional in the hot loop
+            def col(store):
+                return [store[idxs[i]] if ok[i] else None for i in range(n)]
+        else:
+            hp = has_payload
+
+            def col(store):
+                return [store[idxs[i]] if hp[i] else None for i in range(n)]
+
         cols = {
             "error_kind": err_kinds.tolist(),
             "body": [""] * n,
-            "image_id": [dl.image_id[idxs[i]] if hp[i] else None for i in range(n)],
-            "bytes": [dl.blob[idxs[i]] if hp[i] else None for i in range(n)],
-            "w": [dl.w[idxs[i]] if hp[i] else None for i in range(n)],
-            "h": [dl.h[idxs[i]] if hp[i] else None for i in range(n)],
-            "fmt": [dl.fmt[idxs[i]] if hp[i] else None for i in range(n)],
-            "caption": [dl.caption[idxs[i]] if hp[i] else None for i in range(n)],
-            "phash": [dl.phash[idxs[i]] if hp[i] else None for i in range(n)],
+            "image_id": col(dl.image_id),
+            "bytes": col(dl.blob),
+            "w": col(dl.w),
+            "h": col(dl.h),
+            "fmt": col(dl.fmt),
+            "caption": col(dl.caption),
+            "phash": col(dl.phash),
             "links": [pb.links[i] if ok[i] else [] for i in range(n)],
         }
         ms = (time.perf_counter() - t0) * 1000.0
@@ -531,23 +541,31 @@ class WaveWorkerPool(WaveWorker):
         t_build = t_write = 0.0
         ok_idx = np.nonzero(ok)[0]
         if len(ok_idx):
-            gi = [int(img_idx[i]) if has_payload[i] else -1 for i in ok_idx]
+            if bool(np.array_equal(has_payload, ok)):
+                # fast path: every ok row has a payload — numpy fancy index,
+                # no per-row conditionals (the SynthWeb/bench hot loop)
+                gi = img_idx[ok_idx]
+
+                def col(store):
+                    return [store[j] for j in gi]
+            else:
+                gi = [int(img_idx[i]) if has_payload[i] else -1 for i in ok_idx]
+
+                def col(store):
+                    return [store[j] if j >= 0 else None for j in gi]
+
             archive = pa.table({
                 "url": pa.array([urls[i] for i in ok_idx], pa.string()),
                 "host": pa.array([hosts[i] for i in ok_idx], pa.string()),
                 "round": pa.array([self.round_idx] * len(ok_idx), pa.int32()),
                 "depth": pa.array([depths[i] for i in ok_idx], pa.int32()),
-                "image_id": [dl.image_id[j] if j >= 0 else None for j in gi],
-                "bytes": pa.array(
-                    [dl.blob[j] if j >= 0 else None for j in gi], pa.binary()),
-                "w": pa.array(
-                    [dl.w[j] if j >= 0 else None for j in gi], pa.int32()),
-                "h": pa.array(
-                    [dl.h[j] if j >= 0 else None for j in gi], pa.int32()),
-                "fmt": [dl.fmt[j] if j >= 0 else None for j in gi],
-                "caption": [dl.caption[j] if j >= 0 else None for j in gi],
-                "phash": pa.array(
-                    [dl.phash[j] if j >= 0 else None for j in gi], pa.int64()),
+                "image_id": col(dl.image_id),
+                "bytes": pa.array(col(dl.blob), pa.binary()),
+                "w": pa.array(col(dl.w), pa.int32()),
+                "h": pa.array(col(dl.h), pa.int32()),
+                "fmt": col(dl.fmt),
+                "caption": col(dl.caption),
+                "phash": pa.array(col(dl.phash), pa.int64()),
             })
             t_build = time.perf_counter() - t0
             append_fragment(
