@@ -427,8 +427,15 @@ class StateShard:
         """Write this shard's full state under ``ckpt_dir/part=NNNN/``."""
         d = os.path.join(ckpt_dir, f"part={self.part:04d}")
         os.makedirs(d, exist_ok=True)
-        self._unspill()  # fold spill back in so the snapshot is one file
-        pq.write_table(self._frontier_table(), os.path.join(d, "frontier.parquet.tmp"))
+        # snapshot = in-memory frontier + spill-file contents concatenated,
+        # WITHOUT folding the spill back into memory — a per-round
+        # checkpoint must not destroy the drain-surviving cold tier (and at
+        # 10^10 rows the fold would be the checkpoint's memory cliff).
+        # Restore rebuilds everything in-memory; future inserts re-spill.
+        frontier = pa.concat_tables(
+            [self._frontier_table()]
+            + [pq.read_table(p) for p in self._spill_files])
+        pq.write_table(frontier, os.path.join(d, "frontier.parquet.tmp"))
         os.replace(
             os.path.join(d, "frontier.parquet.tmp"), os.path.join(d, "frontier.parquet")
         )

@@ -184,3 +184,38 @@ def test_fence_unspill_rewrites_only_needed_hosts(tmp_path):
         hosts_left |= set(pq_.read_table(f)["host"].to_pylist())
     assert hosts_left == {"a.test"}
     assert t.num_rows > 0
+
+
+def test_checkpoint_preserves_cold_tier(tmp_path):
+    """A checkpoint must snapshot spilled rows WITHOUT folding them into
+    memory (per-round checkpoints would otherwise destroy the
+    drain-surviving cold tier every round), and restore must reproduce the
+    exact frontier."""
+    sh = StateShard(0, 1, rate=2, burst=2, spill_threshold=1 << 40,
+                    spill_dir=str(tmp_path / "s"))
+    _finsert(sh, [(f"http://a.test/c{i}", "a.test", 0.01 * i)
+                  for i in range(10)])
+    sh._spill()
+    files_before = list(sh._spill_files)
+    d = str(tmp_path / "ckpt")
+    sh.checkpoint(d)
+    # spill state untouched by the snapshot
+    assert sh._spill_files == files_before
+    assert sh._spilled_rows == 5 and "a.test" in sh._spill_fence
+    # restore rebuilds the FULL frontier (memory + cold rows)
+    sh2 = StateShard(0, 1, rate=2, burst=2)
+    sh2.restore(d)
+    assert sh2.frontier_size() == 10
+    got = []
+    for _ in range(10):
+        t = sh2.drain()
+        if t.num_rows == 0:
+            break
+        got.extend(t["url"].to_pylist())
+    ref = []
+    for _ in range(10):
+        t = sh.drain()
+        if t.num_rows == 0 and sh.frontier_size() == 0:
+            break
+        ref.extend(t["url"].to_pylist())
+    assert got == ref
