@@ -564,6 +564,16 @@ def parse_cli(argv=None):
     p.add_argument("--images", type=int, default=ed("IMAGES", 256, int))
     p.add_argument("--seen-mode", choices=["exact", "approx"],
                    default=ed("SEEN_MODE", "approx"))
+    p.add_argument("--seen-partition", choices=["host", "url"],
+                   default=ed("SEEN_PARTITION", "host"),
+                   help="'url' = skew-aware url-hash seen partitioning")
+    p.add_argument("--chunk-affinity", choices=["balanced", "host"],
+                   default=ed("CHUNK_AFFINITY", "balanced"),
+                   help="'host' pins each host partition to one fetch "
+                        "worker (wall-clock politeness deployments)")
+    p.add_argument("--spill-threshold", type=int,
+                   default=ed("SPILL_THRESHOLD", 2_000_000, int),
+                   help="per-shard frontier rows before cold spill")
     p.add_argument("--filter-mode", choices=["none", "black", "white"],
                    default=ed("FILTER_MODE", "none"))
     p.add_argument("--filter-file", default=ed("FILTER_FILE", None),
@@ -583,6 +593,11 @@ def parse_cli(argv=None):
         p.error(f"invalid seen-mode {args.seen_mode!r} (exact|approx)")
     if args.filter_mode not in ("none", "black", "white"):
         p.error(f"invalid filter-mode {args.filter_mode!r} (none|black|white)")
+    if args.seen_partition not in ("host", "url"):
+        p.error(f"invalid seen-partition {args.seen_partition!r} (host|url)")
+    if args.chunk_affinity not in ("balanced", "host"):
+        p.error(f"invalid chunk-affinity {args.chunk_affinity!r} "
+                "(balanced|host)")
 
     entries = []
     if args.filter_file:
@@ -595,11 +610,14 @@ def parse_cli(argv=None):
             seeds = [line.strip() for line in f if line.strip()]
     cfg = CrawlConfig(
         out_dir=args.out, seeds=seeds, num_parts=args.parts,
-        seen_mode=args.seen_mode, rate=args.rate, burst=args.burst,
+        seen_mode=args.seen_mode, seen_partition=args.seen_partition,
+        rate=args.rate, burst=args.burst,
         max_rounds=args.rounds, n_hosts=args.hosts, max_degree=args.degree,
         n_images=args.images, html=not args.no_html,
         filter_mode=args.filter_mode, filter_entries=entries,
         fetch_concurrency=args.concurrency,
+        chunk_affinity=args.chunk_affinity,
+        spill_threshold=args.spill_threshold,
     )
     return cfg, args.resume
 

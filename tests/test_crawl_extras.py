@@ -154,6 +154,18 @@ def test_cli_env_fallback_layering(monkeypatch, tmp_path):
     # explicit flag beats env
     cfg, _ = parse_cli(["--out", str(tmp_path), "--rounds", "5"])
     assert cfg.max_rounds == 5 and cfg.out_dir == str(tmp_path)
+    # round-3 knobs: seen partitioning, chunk affinity, spill threshold
+    monkeypatch.setenv("SCRAPER_RAY_SEEN_PARTITION", "url")
+    monkeypatch.setenv("SCRAPER_RAY_CHUNK_AFFINITY", "host")
+    monkeypatch.setenv("SCRAPER_RAY_SPILL_THRESHOLD", "1234")
+    cfg, _ = parse_cli(["--out", str(tmp_path)])
+    assert cfg.seen_partition == "url" and cfg.chunk_affinity == "host"
+    assert cfg.spill_threshold == 1234
+    cfg, _ = parse_cli(["--out", str(tmp_path), "--seen-partition", "host",
+                        "--chunk-affinity", "balanced",
+                        "--spill-threshold", "99"])
+    assert cfg.seen_partition == "host" and cfg.chunk_affinity == "balanced"
+    assert cfg.spill_threshold == 99
 
 
 def test_error_outcome_mapping():
