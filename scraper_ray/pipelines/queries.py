@@ -1567,6 +1567,44 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     return _pairs_to_df(verified)
 
 
+def q_lsh_overflow_audit(sf_dir: str, bucket_cap: int = 2):
+    """Coverage-audit operator: MinHash word-shingle banding with a
+    deliberately low bucket cap, returning the capped-bucket records
+    ``(ov_band, ov_hash, ov_size)`` that pair generation truncated — at
+    corpus scale each is a probable giant dup cluster, and this table is
+    the explicit record that coverage was bounded (silent truncation reads
+    as full coverage). Rows-only (the LSH construction is not
+    SQL-expressible); determinism pinned by the driver check and the cap
+    tests."""
+    from ..functions.sketches import MinHasher
+    from ..functions.textstats import word_shingles
+
+    mh = MinHasher(num_perm=64, bands=16)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = mh.band_hashes_batch(
+            mh.signatures_batch([word_shingles(x, 3) for x in texts]))
+        n = len(texts)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(dids, mh.nbands)),
+            "band": pa.array(np.tile(np.arange(mh.nbands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1)),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ov = _lsh_overflows(_lsh_candidates(
+        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512),
+        bucket_cap=bucket_cap)).to_pandas()
+    if len(ov) == 0:
+        return pd.DataFrame({"ov_band": pd.Series([], dtype="int64"),
+                             "ov_hash": pd.Series([], dtype="int64"),
+                             "ov_size": pd.Series([], dtype="int64")})
+    return (ov.astype("int64")
+            .sort_values(["ov_band", "ov_hash"]).reset_index(drop=True))
+
+
 def q_asof_last_click(sf_dir: str, num_parts: int = 64):
     """As-of join (an operator Ray Data lacks natively): for each purchase
     event, the user's most recent click at-or-before it. Users are hashed
@@ -1965,6 +2003,7 @@ QUERIES = {
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "minhash_dup_clusters": q_minhash_dup_clusters,
     "minhash_near_dup": q_minhash_near_dup,
+    "lsh_overflow_audit": q_lsh_overflow_audit,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "asof_last_click": q_asof_last_click,
