@@ -367,18 +367,55 @@ GROUP BY o_orderpriority
 #     canonical mixed join topology at scale: shuffle only what's large,
 #     broadcast what's small, pre-aggregate before every exchange.
 
-def q_regional_revenue(sf_dir: str, region_name: str = "ASIA"):
+def _collect_map(ds, key_col: str, val_col: str,
+                 limit: int = BROADCAST_KEY_LIMIT):
+    """Distributed build of a broadcast ``{key: val}`` lookup: each batch
+    emits its distinct (key, val) pairs (two narrow int64 columns — never
+    the table, never a driver ``.to_pandas()`` of the input); the driver
+    merges the aggregate-sized partials. Returns ``None`` once the key
+    count exceeds ``limit`` — the caller must fall back to a bucketed
+    exchange instead of broadcasting."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (pa.table({key_col: t[key_col].cast(pa.int64()),
+                          val_col: t[val_col].cast(pa.int64())})
+                .group_by([key_col, val_col]).aggregate([]))
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow")
+    ks, vs = [], []
+    total = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        ks.append(b[key_col].to_numpy(zero_copy_only=False))
+        vs.append(b[val_col].to_numpy(zero_copy_only=False))
+        total += len(ks[-1])
+        if total > 4 * limit:
+            return None
+    if not ks:
+        return {}
+    out = dict(zip(np.concatenate(ks).tolist(),
+                   np.concatenate(vs).tolist()))
+    return None if len(out) > limit else out
+
+
+def q_regional_revenue(sf_dir: str, region_name: str = "ASIA",
+                       broadcast_limit: int = BROADCAST_KEY_LIMIT):
     import ray
     from ray.data.aggregate import Sum
 
-    # broadcast sides: nation⋈region filter + names, supplier→nation map
+    # broadcast sides: nation⋈region filter + names are FIXED-size dims
+    # (25 / 5 rows by TPC-H construction — safe to read driver-side at any
+    # SF); the supplier→nation map GROWS with SF, so it is built
+    # distributedly and guarded: above ``broadcast_limit`` suppliers the
+    # third bucketed exchange below replaces the broadcast.
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     rkeys = set(region.loc[region["r_name"] == region_name, "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nation_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nation = _collect_map(supp_ds, "s_suppkey", "s_nationkey",
+                               broadcast_limit)
+    supp_nation_ref = ray.put(supp_nation) if supp_nation is not None else None
     nation_ref = ray.put(nation_name)
 
     # exchange 1: orders ⋈ customer on custkey (both large at scale) —
@@ -421,23 +458,57 @@ def q_regional_revenue(sf_dir: str, region_name: str = "ASIA"):
         "l_orderkey", "c_nationkey", pa.int64(),
     )
 
-    # broadcast supplier map: keep rows where the supplier's nation equals
-    # the customer's nation; pre-aggregate per nation before the tiny groupby
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        sn = ray.get(supp_nation_ref)
+    _EMPTY = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                           "revenue_c4": pd.Series([], dtype="int64")})
+
+    def _sum_by_nation(df: pd.DataFrame, s_nat: pd.Series) -> pd.DataFrame:
         names = ray.get(nation_ref)
-        df = df.dropna(subset=["c_nationkey"])
-        df = df.assign(c_nationkey=df["c_nationkey"].astype("int64"))
-        s_nat = df["l_suppkey"].map(sn)
         df = df[s_nat.values == df["c_nationkey"].values]
         if len(df) == 0:
-            return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
-                                 "revenue_c4": pd.Series([], dtype="int64")})
-        out = df.assign(n_name=df["c_nationkey"].map(names)).groupby(
-            "n_name", as_index=False)["revenue_c4"].sum()
-        return out
+            return _EMPTY
+        return (df.assign(n_name=df["c_nationkey"].map(names))
+                .groupby("n_name", as_index=False)["revenue_c4"].sum())
 
-    df = (li_nat.map_batches(finish, batch_format="pandas")
+    if supp_nation_ref is not None:
+        # broadcast supplier map: keep rows where the supplier's nation
+        # equals the customer's; pre-aggregate before the tiny groupby
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=["c_nationkey"])
+            df = df.assign(c_nationkey=df["c_nationkey"].astype("int64"))
+            s_nat = df["l_suppkey"].map(ray.get(supp_nation_ref))
+            return _sum_by_nation(df, s_nat)
+
+        finished = li_nat.map_batches(finish, batch_format="pandas")
+    else:
+        # supplier too large to broadcast: THIRD bucketed exchange attaches
+        # s_nationkey onto the (already order-matched, pre-aggregated) rows
+        def clean(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=["c_nationkey"])
+            return df.astype({"l_orderkey": "int64", "l_suppkey": "int64",
+                              "revenue_c4": "int64", "c_nationkey": "int64"})
+
+        nat_schema = pa.schema([pa.field("l_suppkey", pa.int64()),
+                                pa.field("revenue_c4", pa.int64()),
+                                pa.field("c_nationkey", pa.int64())])
+        li_sn = _bucket_attach(
+            li_nat.map_batches(clean, batch_format="pandas").map_batches(
+                lambda df: df[["l_suppkey", "revenue_c4", "c_nationkey"]],
+                batch_format="pandas"),
+            nat_schema, supp_ds, "s_suppkey", "s_nationkey",
+            "l_suppkey", "s_nationkey", pa.int64(),
+        )
+
+        def finish_attached(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=["s_nationkey"])
+            if len(df) == 0:
+                return _EMPTY
+            # bucketed union nulls float-ify int columns; re-int them
+            df = df.astype({"c_nationkey": "int64", "revenue_c4": "int64"})
+            return _sum_by_nation(df, df["s_nationkey"].astype("int64"))
+
+        finished = li_sn.map_batches(finish_attached, batch_format="pandas")
+
+    df = (finished
           .groupby("n_name")
           .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
           .to_pandas())

@@ -92,12 +92,19 @@ def test_broadcast_build_side_fallback_matches():
     semi/anti-join queries through the bucketed-exchange path and produce
     identical results — the guard against the driver-OOM broadcast pattern
     at 100× the 'seen set' size is behaviour-preserving."""
-    from scraper_ray.pipelines.queries import q_cull_known, q_top_building_orders
+    from scraper_ray.pipelines.queries import (
+        q_cull_known, q_regional_revenue, q_top_building_orders,
+    )
 
     for q in (q_top_building_orders, q_cull_known):
         bc = _norm(q(SF_DIR))
         bucketed = _norm(q(SF_DIR, broadcast_limit=1))
         pd.testing.assert_frame_equal(bc, bucketed)
+    # regional_revenue: supplier map over the limit → third bucketed
+    # exchange replaces the broadcast, same hash-exact answer
+    bc = _norm(q_regional_revenue(SF_DIR))
+    bucketed = _norm(q_regional_revenue(SF_DIR, broadcast_limit=1))
+    pd.testing.assert_frame_equal(bc, bucketed)
 
 
 @pytest.mark.usefixtures("ray_session")
