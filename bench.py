@@ -149,16 +149,22 @@ def run_queries_pinned(sf_dir: str) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(QUERY_PIN_CORES),
                GRAFT_SF_DIR=sf_dir)
     try:
-        out = subprocess.run(
+        proc = subprocess.run(
             ["taskset", "-c", cores, sys.executable, __file__,
              "--queries-only"],
             env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        rec = json.loads(out.strip().splitlines()[-1])
+        )
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
         rec["pinned_cores"] = QUERY_PIN_CORES
         return rec
     except (subprocess.CalledProcessError, FileNotFoundError,
-            json.JSONDecodeError):
+            json.JSONDecodeError, IndexError) as e:
+        # surface the real failure before falling back — a silent unpinned
+        # rerun would hide a pinned-only crash behind plausible numbers
+        err = getattr(e, "stderr", "") or ""
+        print(f"pinned query bench failed ({type(e).__name__}); falling "
+              f"back to unpinned in-process run\n{err[-2000:]}",
+              file=sys.stderr)
         q, s = run_queries(sf_dir)
         return {"queries": q, "samples": s, "pinned_cores": 0}
 

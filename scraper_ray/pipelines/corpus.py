@@ -71,6 +71,17 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                         f"written with {prev.get(k)!r}, current run has "
                         f"{v!r}; use a fresh out_dir")
         else:
+            # no sidecar: refuse to adopt an out_dir that already holds
+            # output (a legacy/foreign run whose config is unknown) — its
+            # partitions would be skip-resumed under THIS config's name
+            existing = [d for d in os.listdir(out_dir)
+                        if d.startswith("part=") or d == "stats.json"]
+            if existing:
+                raise ValueError(
+                    f"out_dir {out_dir!r} contains prior output "
+                    f"({existing[:3]}...) but no config.json sidecar; "
+                    "cannot verify it matches this run's config — use a "
+                    "fresh out_dir")
             tmp = cfg_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(cfg, f)

@@ -1460,6 +1460,8 @@ def _connected_components_distributed(pairs: pd.DataFrame,
                              pa.field("dst", pa.int64())])
 
     n_nodes = len(nodes)
+    prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_rounds):
         # attach src's current label onto each edge, forward it to dst
         msgs = _bucket_attach(edges, edge_schema, labels, "node", "label",
@@ -1476,13 +1478,21 @@ def _connected_components_distributed(pairs: pd.DataFrame,
                                  {"label": ("label", "min")})
         new_labels = merged.materialize()
         # convergence check: sum of labels strictly decreases while any
-        # label changes (labels only ever take mins) — one tiny aggregate,
-        # no driver-side label sets
-        old_sum = labels.sum("label")
-        if new_labels.sum("label") == old_sum:
-            labels = new_labels
-            break
+        # label changes (labels only ever take mins) — one tiny aggregate
+        # per round (the previous round's sum is carried, not recomputed)
+        new_sum = new_labels.sum("label")
         labels = new_labels
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    if not converged:
+        # falling through would SILENTLY split components the propagation
+        # hasn't finished merging (possible only when the graph diameter
+        # exceeds max_rounds, e.g. a >64-hop near-dup chain)
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(graph diameter too large); raise max_rounds")
     out_df = labels.to_pandas()  # aggregate-sized ONLY at this API's scale;
     # a true corpus run would write_parquet the label table instead
     assert len(out_df) == n_nodes

@@ -554,17 +554,20 @@ class WaveWorkerPool(WaveWorker):
                 def col(store):
                     return [store[j] if j >= 0 else None for j in gi]
 
+            # every column EXPLICITLY typed: an all-None payload chunk
+            # (payload-less ok rows) would otherwise infer arrow `null`
+            # columns and write a schema-divergent archive fragment
             archive = pa.table({
                 "url": pa.array([urls[i] for i in ok_idx], pa.string()),
                 "host": pa.array([hosts[i] for i in ok_idx], pa.string()),
                 "round": pa.array([self.round_idx] * len(ok_idx), pa.int32()),
                 "depth": pa.array([depths[i] for i in ok_idx], pa.int32()),
-                "image_id": col(dl.image_id),
+                "image_id": pa.array(col(dl.image_id), pa.string()),
                 "bytes": pa.array(col(dl.blob), pa.binary()),
                 "w": pa.array(col(dl.w), pa.int32()),
                 "h": pa.array(col(dl.h), pa.int32()),
-                "fmt": col(dl.fmt),
-                "caption": col(dl.caption),
+                "fmt": pa.array(col(dl.fmt), pa.string()),
+                "caption": pa.array(col(dl.caption), pa.string()),
                 "phash": pa.array(col(dl.phash), pa.int64()),
             })
             t_build = time.perf_counter() - t0

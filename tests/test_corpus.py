@@ -117,3 +117,17 @@ def test_corpus_clean_resume_skips_finished_parts(tmp_path):
     for d, m in mtimes.items():
         # untouched: finished partitions were skipped, not rewritten
         assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_refuses_unguarded_legacy_outdir(tmp_path):
+    """An out_dir holding prior output but no config.json sidecar (a
+    legacy/foreign run) must be refused — its partitions would otherwise
+    be skip-resumed under the current config's name."""
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = tmp_path / "corpus"
+    (out / "part=0000").mkdir(parents=True)
+    (out / "part=0000" / "data.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="no config.json sidecar"):
+        clean_corpus(SF_DIR, str(out))

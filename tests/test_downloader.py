@@ -326,3 +326,39 @@ def test_http_downloader_payload_store_resets_per_fetch():
         err, idx, _ = d.fetch_one(u)
         assert err == "" and idx == 0  # fresh store every call
     assert len(d.blob) == 1
+
+
+def test_direct_mode_payloadless_chunk_writes_typed_archive(tmp_path):
+    """A direct-mode wave chunk whose ok rows ALL lack payloads must write
+    an archive fragment with the normal string/binary column types — an
+    inferred null-typed fragment would break read_archive's concat against
+    fragments from payload-carrying workers."""
+    from scraper_ray.sources import tableio
+    from scraper_ray.stages.fetch import WaveWorkerPool
+    from scraper_ray.stages.filters import HostFilter
+
+    class NoPayload(Downloader):
+        html_mode = False
+
+        def __init__(self):
+            self.image_id, self.blob, self.w, self.h = [], [], [], []
+            self.fmt, self.caption, self.phash = [], [], []
+
+        def fetch_batch(self, urls, hosts):
+            return PageBatch(np.full(len(urls), -1, dtype=np.int64),
+                             [[] for _ in urls], [""] * len(urls))
+
+    w = WaveWorkerPool(
+        images_ref=None, web_cfg={}, fail_mod=0, shard_handles=[],
+        filter_cfg=HostFilter("none", []).to_dict(), num_parts=1,
+        archive_dir=str(tmp_path / "archive"),
+        errors_dir=str(tmp_path / "errors"), downloader=NoPayload())
+    out = w.process(_batch(["http://a.example/p1", "http://a.example/p2"]), 0)
+    assert out["pages"] == 2 and out["errors"] == 0
+    frag = tableio.read_table(str(tmp_path / "archive" / "round=0000"))
+    assert frag.num_rows == 2
+    assert frag.schema.field("image_id").type == pa.string()
+    assert frag.schema.field("fmt").type == pa.string()
+    assert frag.schema.field("caption").type == pa.string()
+    assert frag.schema.field("bytes").type == pa.binary()
+    assert frag["image_id"].null_count == 2
