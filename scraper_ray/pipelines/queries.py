@@ -1550,30 +1550,14 @@ def q_minhash_dup_clusters(sf_dir: str):
 
 def q_minhash_near_dup(sf_dir: str):
     """MinHash+LSH near-dup pairs verified by true Jaccard ≥ 0.5 over word
-    3-shingles. Shingle→signature per batch; explode to (band, band_hash,
-    doc_id); groupby band buckets → capped candidate pairs → distinct →
-    texts joined on via the bucketed exchange → exact-Jaccard verify inside
-    ``map_batches``. No driver-side text read or verify loop."""
-    from ..functions.sketches import MinHasher
+    3-shingles. Shingle→signature per batch (:func:`_minhash_banded`);
+    explode to (band, band_hash, doc_id); groupby band buckets → capped
+    candidate pairs → distinct → texts joined on via the bucketed exchange
+    → exact-Jaccard verify inside ``map_batches``. No driver-side text
+    read or verify loop."""
     from ..functions.textstats import word_shingles
 
-    mh = MinHasher(num_perm=64, bands=16)
-
-    def sigs(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = mh.band_hashes_batch(
-            mh.signatures_batch([word_shingles(x, 3) for x in texts]))
-        n = len(texts)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(dids, mh.nbands)),
-            "band": pa.array(np.tile(np.arange(mh.nbands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
-        })
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = _lsh_pairs(_lsh_candidates(
-        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512)))
+    cand = _lsh_pairs(_lsh_candidates(_minhash_banded(sf_dir)))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     verified = _verify_pairs_with_texts(
         cand, docs, lambda t: word_shingles(t, 3), 0.5)
@@ -1648,15 +1632,10 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     return _pairs_to_df(verified)
 
 
-def q_lsh_overflow_audit(sf_dir: str, bucket_cap: int = 2):
-    """Coverage-audit operator: MinHash word-shingle banding with a
-    deliberately low bucket cap, returning the capped-bucket records
-    ``(ov_band, ov_hash, ov_size)`` that pair generation truncated — at
-    corpus scale each is a probable giant dup cluster, and this table is
-    the explicit record that coverage was bounded (silent truncation reads
-    as full coverage). Rows-only (the LSH construction is not
-    SQL-expressible); determinism pinned by the driver check and the cap
-    tests."""
+def _minhash_banded(sf_dir: str, batch_size: int = 512):
+    """(doc_id, band, band_hash) rows for the documents table under the
+    standard word-3-shingle MinHash(64 perms, 16 bands) banding — the
+    shared input of the near-dup query and the overflow audit."""
     from ..functions.sketches import MinHasher
     from ..functions.textstats import word_shingles
 
@@ -1675,9 +1654,21 @@ def q_lsh_overflow_audit(sf_dir: str, bucket_cap: int = 2):
         })
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(sigs, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def q_lsh_overflow_audit(sf_dir: str, bucket_cap: int = 2):
+    """Coverage-audit operator: MinHash word-shingle banding with a
+    deliberately low bucket cap, returning the capped-bucket records
+    ``(ov_band, ov_hash, ov_size)`` that pair generation truncated — at
+    corpus scale each is a probable giant dup cluster, and this table is
+    the explicit record that coverage was bounded (silent truncation reads
+    as full coverage). Rows-only (the LSH construction is not
+    SQL-expressible); determinism pinned by the driver check and the cap
+    tests."""
     ov = _lsh_overflows(_lsh_candidates(
-        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512),
-        bucket_cap=bucket_cap)).to_pandas()
+        _minhash_banded(sf_dir), bucket_cap=bucket_cap)).to_pandas()
     if len(ov) == 0:
         return pd.DataFrame({"ov_band": pd.Series([], dtype="int64"),
                              "ov_hash": pd.Series([], dtype="int64"),

@@ -123,14 +123,13 @@ class StateShard:
         """Insert already-deduplicated, already-seen-checked frontier rows
         (columns url, host, priority, depth) — the frontier half of the
         url-partitioned path. Politeness/drain stays host-affine here."""
-        import heapq as _hq
-
         urls = t["url"].to_pylist()
         hosts = t["host"].to_pylist()
         prios = t["priority"].to_pylist()
         depths = t["depth"].to_pylist()
         for u, h, p, d in zip(urls, hosts, prios, depths):
-            _hq.heappush(self.pending.setdefault(h, []), (-float(p), u, int(d)))
+            heapq.heappush(self.pending.setdefault(h, []),
+                           (-float(p), u, int(d)))
         self.pending_count += len(urls)
         self.inserted_total += len(urls)
         if self.pending_count > self.spill_threshold and self.spill_dir:
