@@ -270,7 +270,8 @@ def main(argv=None) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     stats = clean_corpus(args.sf_dir, args.out, args.min_quality, args.parts)
     print(json.dumps(stats))

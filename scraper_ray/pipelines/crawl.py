@@ -634,7 +634,11 @@ def main(argv=None) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        # honour RAY_ADDRESS so `ray job submit` / an existing cluster is
+        # used when present (the north-rule deployment mode); local
+        # otherwise. The sandbox presets RAY_ADDRESS=local.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
 
     res = run_crawl(cfg, resume=resume)

@@ -1775,7 +1775,13 @@ def q_lang_id(sf_dir: str):
 
 def q_quality_scores(sf_dir: str):
     """Per-doc quality features + score (deterministic floats rounded),
-    with both whitespace and BPE-ish sub-word token counts."""
+    with both whitespace and BPE-ish sub-word token counts.
+
+    Scale note: the RESULT is corpus-sized (one row per document), so the
+    driver-side ``to_pandas`` here exists for the oracle check at test
+    scales only — the production consumer of these features is the corpus
+    pipeline (`pipelines/corpus.py`), which computes them in the same
+    fused pass and writes partitioned parquet, never a driver collect."""
     from ..functions.textstats import (
         count_tokens_bpe, quality_features, quality_score,
     )
@@ -1893,7 +1899,11 @@ def q_sequence_pack(sf_dir: str, capacity: int = 2048, num_parts: int = 32):
 
 def q_fingerprints(sf_dir: str):
     """64-bit rolling-window fingerprints per document (stored as int64);
-    batch kernel — one hash call for all windows of the batch."""
+    batch kernel — one hash call for all windows of the batch.
+
+    Scale note: corpus-sized result; see q_quality_scores — the corpus
+    pipeline computes fingerprints in its fused feature pass and writes
+    them partitioned instead of collecting."""
     from ..functions.textstats import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
