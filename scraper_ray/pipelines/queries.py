@@ -2051,6 +2051,66 @@ def q_multimodal_image_stats(sf_dir: str):
     return df
 
 
+def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
+    """Image near-duplicate pairs by perceptual-hash hamming over DECODED
+    pixels — the multimodal payload driven through the same banded-LSH
+    machinery as the text dedup families. The deterministic input corpus
+    (captions from the sf ``documents`` table) plants true near-dups: each
+    base image recurs re-encoded in another format (lossless re-encode ⇒
+    identical pixels ⇒ phash hamming 0; the lossy 'lqi' re-encode ⇒
+    PSNR≥40 pixels ⇒ near-zero hamming).
+
+    Pipeline: images table → ``DecodeImages(compute_features=True)`` actor
+    pool (phash computed from the decoded pixels — the stored column is
+    never trusted) → 64-bit phash banded into 4×16-bit chunks (EXACT for
+    hamming ≤ 3 by pigeonhole) → :func:`_lsh_candidates` with the
+    in-bucket hamming pair_filter → (image_id_a, image_id_b). Rows-only
+    (decode + LSH are not SQL-expressible); pinned against brute-force
+    hamming and the planted-pair inventory in tests."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.sketches import hamming64_batch
+    from ..sources.fixtures import build_images_with_reencodes
+    from ..stages.multimodal import DecodeImages
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
+    images = build_images_with_reencodes(32, captions=captions)
+    id_of = images["image_id"].to_pylist()  # rid -> image_id (local table)
+    images = images.append_column(
+        "rid", pa.array(np.arange(images.num_rows, dtype=np.int64)))
+
+    feats = rd.from_arrow(images).map_batches(
+        DecodeImages, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"compute_features": True})
+
+    def band(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["decode_ok"], True))
+        ph = ok["phash_computed"].to_numpy(zero_copy_only=False).view(np.uint64)
+        rid = ok["rid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(rid)
+        chunk = np.tile(np.arange(4, dtype=np.uint64), n)
+        hrep = np.repeat(ph, 4)
+        chunk_val = (hrep >> (np.uint64(16) * chunk)) & np.uint64(0xFFFF)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(rid, 4)),
+            "chunk": pa.array(chunk.astype(np.int32)),
+            "chunk_val": pa.array(chunk_val.astype(np.int32)),
+            "phash64": pa.array(hrep),
+        })
+
+    pairs = _pairs_to_df(_lsh_pairs(_lsh_candidates(
+        feats.map_batches(band, batch_format="pyarrow"),
+        band_col="chunk", hash_col="chunk_val", extra_col="phash64",
+        pair_filter=lambda a, b: hamming64_batch(a, b) <= max_hamming,
+    )))
+    return pd.DataFrame({
+        "image_id_a": [id_of[i] for i in pairs["id_a"]],
+        "image_id_b": [id_of[i] for i in pairs["id_b"]],
+    })
+
+
 def _q_corpus_clean_stats(sf_dir: str):
     """Composed corpus-cleaning funnel (pipelines/corpus.py): features →
     exact dedup → near-dup removal → quality filter. Rows-only check (the
@@ -2081,6 +2141,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "multimodal_image_stats": q_multimodal_image_stats,
+    "image_phash_dups": q_image_phash_dups,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "minhash_dup_clusters": q_minhash_dup_clusters,

@@ -97,3 +97,40 @@ def seed_urls(n_hosts: int = 8) -> list[str]:
         "http://h3.test/",  # exact duplicate
     ]
     return seeds
+
+
+def build_images_with_reencodes(n: int,
+                                captions: list[str] | None = None) -> pa.Table:
+    """``build_images_table(n)`` plus one RE-ENCODED variant per base image
+    (each blob decoded and re-encoded in the next format of the
+    png→bmp→lqi cycle) — a deterministic corpus with PLANTED image
+    near-duplicates: a lossless re-encode has identical pixels (phash
+    hamming 0), the lossy 'lqi' re-encode has PSNR≥40 pixels (near-zero
+    hamming). Variant ids are ``<base_id>-re``; the stored ``phash`` column
+    is the variant's true decoded-pixel phash. Input corpus for the
+    image-dedup query and its brute-force oracle."""
+    import numpy as np
+
+    base = build_images_table(n, captions=captions)
+    nxt = {"png": "bmp", "bmp": "lqi", "lqi": "png"}
+    ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+    for i in range(base.num_rows):
+        fmt = base["fmt"][i].as_py()
+        px = codec.decode(base["bytes"][i].as_py(), fmt)
+        nf = nxt[fmt]
+        blob = codec.encode(np.ascontiguousarray(px), nf)
+        ids.append(base["image_id"][i].as_py() + "-re")
+        blobs.append(blob)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        fmts.append(nf)
+        caps.append(base["caption"][i].as_py())
+        phs.append(codec.phash(codec.decode(blob, nf)))
+    variants = pa.table(
+        {"image_id": ids, "bytes": blobs,
+         "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+         "fmt": fmts, "caption": caps,
+         "phash": pa.array(phs, pa.int64())},
+        schema=IMAGES_SCHEMA,
+    )
+    return pa.concat_tables([base, variants])

@@ -317,3 +317,43 @@ def test_distributed_components_match_union_find():
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
     assert _connected_components_distributed(pd.DataFrame(
         {"id_a": [], "id_b": []})) == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_phash_dups_vs_brute_force():
+    """Image near-dup (decoded-pixel phash, hamming <= 3) must equal the
+    brute-force answer exactly (4x16-bit banding is pigeonhole-exact for
+    <= 3 flips), and every lossless re-encode variant pair must be present
+    at hamming 0 (identical pixels)."""
+    from scraper_ray.functions import codec
+    from scraper_ray.pipelines.queries import q_image_phash_dups
+    from scraper_ray.sources.fixtures import build_images_with_reencodes
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
+    images = build_images_with_reencodes(32, captions=captions)
+    ids = images["image_id"].to_pylist()
+    hashes = np.array(
+        [codec.phash(codec.decode(b.as_py(), f.as_py()))
+         for b, f in zip(images["bytes"], images["fmt"])], dtype=np.uint64)
+    x = hashes[:, None] ^ hashes[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    while x.any():
+        ham += (x != 0)
+        x = x & (x - np.uint64(1))
+    ii, jj = np.where(np.triu(ham <= 3, k=1))
+    truth = {tuple(sorted((ids[i], ids[j]))) for i, j in zip(ii, jj)}
+
+    got_df = q_image_phash_dups(SF)
+    got = {tuple(sorted((a, b))) for a, b in
+           zip(got_df["image_id_a"], got_df["image_id_b"])}
+    assert got == truth, (len(got), len(truth))
+
+    # planted lossless re-encodes (png->bmp, bmp->lqi is lossy, lqi->png
+    # decodes the lossy pixels losslessly): base i with fmt png or lqi has
+    # pixel-identical variant => hamming 0 => must be a pair
+    for i in range(32):
+        fmt = images["fmt"][i].as_py()
+        if fmt in ("png", "lqi"):
+            pair = tuple(sorted((ids[i], ids[i] + "-re")))
+            assert pair in got, pair
