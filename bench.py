@@ -203,7 +203,7 @@ def main() -> None:
     # sample conflates engine speed with whoever was noisy that minute —
     # the same quiet-window protocol the scaling runs use (SCALE_REPS)
     samples = []
-    for _ in range(max(1, int(os.environ.get("CRAWL_REPS", "2")))):
+    for _ in range(max(1, int(os.environ.get("CRAWL_REPS", "3")))):
         s0 = _read_steal()
         rec = run_crawl_bench(NUM_CPUS)
         rec["steal_jiffies"] = _read_steal() - s0
