@@ -219,3 +219,47 @@ def test_checkpoint_preserves_cold_tier(tmp_path):
             break
         ref.extend(t["url"].to_pylist())
     assert got == ref
+
+
+def test_fence_fuzz_matches_always_unspill_reference(tmp_path):
+    """Property fuzz: random inserts (ties included), random spill points,
+    random rates — the fence-gated spilling shard must drain wave-for-wave
+    byte-identically to a never-spilled reference until both are empty."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    counter = itertools.count()
+
+    @settings(deadline=None, max_examples=40)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2),            # host index
+                      st.integers(0, 15)),          # priority (16ths: f32-exact)
+            min_size=1, max_size=40),
+        spill_waves=st.sets(st.integers(0, 6)),
+        rate=st.integers(1, 4),
+    )
+    def run(rows, spill_waves, rate):
+        case = next(counter)
+        ref = StateShard(0, 1, rate=rate, burst=rate)
+        spl = StateShard(0, 1, rate=rate, burst=rate,
+                         spill_threshold=1 << 40,
+                         spill_dir=str(tmp_path / f"s{case}"))
+        finsert_rows = [
+            (f"http://h{h}.test/u{i}", f"h{h}.test", p / 16.0)
+            for i, (h, p) in enumerate(rows)
+        ]
+        _finsert(ref, finsert_rows)
+        _finsert(spl, finsert_rows)
+        for wave in range(8):
+            if wave in spill_waves:
+                spl._spill()
+            a, b = ref.drain(), spl.drain()
+            assert a.equals(b), f"case {case} wave {wave}"
+            if ref.frontier_size() == 0 and spl.frontier_size() == 0:
+                break
+        assert ref.frontier_size() == spl.frontier_size()
+
+    run()
