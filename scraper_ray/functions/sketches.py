@@ -172,3 +172,139 @@ def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt[nz] += 1
         x = x & (x - np.uint64(1))
     return cnt
+
+
+class HyperLogLog:
+    """Mergeable distinct-count sketch (Flajolet et al. 2007, the standard
+    public construction): 2^p byte registers; add = per-register max of the
+    rank (leading-zero count + 1) of the hashed value's low bits; merge =
+    elementwise max; estimate = bias-corrected harmonic mean with the
+    small-range (linear counting) correction. Deterministic given the
+    input hash set; relative standard error ≈ 1.04 / sqrt(2^p).
+
+    Designed for the partial-aggregate pattern: one sketch per batch inside
+    ``map_batches`` (registers travel as a 2^p-byte blob), merged at the
+    combiner/driver — a distinct-count over 100 TB moves KBs, not keys."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = (np.zeros(self.m, dtype=np.uint8)
+                          if registers is None else registers)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = np.asarray(h, dtype=np.uint64)
+        if len(h) == 0:
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        # rank = leading zeros of w within 64-p bits, + 1; w == 0 → max rank
+        nbits = 64 - self.p
+        rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+        nz = w != 0
+        if nz.any():
+            # leading zeros via float64 exponent trick is inexact for 64-bit;
+            # use a vectorized bit-halving count instead
+            x = w[nz]
+            lz = np.zeros(x.shape, dtype=np.int64)
+            for shift in (32, 16, 8, 4, 2, 1):
+                mask = x < (np.uint64(1) << np.uint64(64 - shift))
+                lz[mask] += shift
+                x = np.where(mask, x << np.uint64(shift), x)
+            rank_nz = np.minimum(lz + 1, nbits + 1).astype(np.uint8)
+            full = np.zeros(len(h), dtype=np.uint8)
+            full[nz] = rank_nz
+            rank = np.where(nz, full, rank).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting, small range
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(blob, dtype=np.uint8).copy())
+
+
+class SpaceSaving:
+    """Mergeable heavy-hitters summary (Metwally et al. 2005 Space-Saving):
+    at most ``capacity`` tracked keys; offering a new key when full evicts
+    the minimum-count key and inherits its count as the new key's
+    overestimation error. Guarantees: every key with true count >
+    n/capacity is tracked, and est_count - true_count <= err <= n/capacity.
+
+    ``offer`` takes pre-aggregated (key, count) pairs — the per-batch
+    partial is an exact value_counts; merge sums common keys (errors add)
+    and admits the rest through the same eviction rule, preserving the
+    bound (errors of merged summaries add)."""
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self.counts: dict[int, int] = {}
+        self.errors: dict[int, int] = {}
+
+    def offer(self, keys, counts) -> "SpaceSaving":
+        for k, c in sorted(zip((int(x) for x in keys),
+                               (int(x) for x in counts))):
+            if k in self.counts:
+                self.counts[k] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[k] = c
+                self.errors[k] = 0
+            else:
+                mk = min(self.counts, key=lambda x: (self.counts[x], x))
+                mc = self.counts.pop(mk)
+                me = self.errors.pop(mk)
+                del me  # evicted key's error dies with it
+                self.counts[k] = mc + c
+                self.errors[k] = mc
+        return self
+
+    def _floor(self) -> int:
+        """Upper bound on any UNTRACKED key's true count: the summary's min
+        estimate once it has ever been full (SS invariant), else 0."""
+        if len(self.counts) >= self.capacity:
+            return min(self.counts.values())
+        return 0
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Mergeable-summaries combine (Agarwal et al. 2012): a key
+        untracked in one side is estimated at that side's floor (its true
+        count there cannot exceed it), with the floor added to the error;
+        then the union is truncated back to capacity by estimate. Bounds
+        add: est-true ≤ err ≤ n_A/cap + n_B/cap = n/cap. (A naive
+        common-keys-only merge UNDERESTIMATES keys the other side evicted
+        — caught by the kernel test.)"""
+        fs, fo = self._floor(), other._floor()
+        union: dict[int, tuple[int, int]] = {}
+        for k in set(self.counts) | set(other.counts):
+            cs, co = self.counts.get(k), other.counts.get(k)
+            est = (cs if cs is not None else fs) + (co if co is not None else fo)
+            err = ((self.errors[k] if cs is not None else fs)
+                   + (other.errors[k] if co is not None else fo))
+            union[k] = (est, err)
+        top = sorted(union.items(),
+                     key=lambda kv: (-kv[1][0], kv[0]))[: self.capacity]
+        self.counts = {k: e for k, (e, _) in top}
+        self.errors = {k: r for k, (_, r) in top}
+        return self
+
+    def top(self, k: int):
+        """[(key, est_count, err)] by est desc, key asc — deterministic."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(key, c, self.errors[key]) for key, c in items[:k]]

@@ -2051,6 +2051,77 @@ def q_multimodal_image_stats(sf_dir: str):
     return df
 
 
+def q_distinct_orders_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct-count of ``l_orderkey`` via HyperLogLog — the
+    mergeable-sketch pattern for corpus-scale cardinality ("how many
+    distinct URLs/users/docs") where exact distinct needs an all-to-all:
+    each batch emits its 2^p-byte register blob, the driver merges with
+    elementwise max (ORDER-INDEPENDENT — the result is identical under any
+    batching/parallelism) and estimates. A 100 TB distinct-count moves KBs
+    of registers instead of every key. Rows-only (an estimate cannot
+    hash-match exact SQL); the ±1.04/sqrt(2^p) error bound vs exact is
+    pinned in tests."""
+    from ..functions.hashing import hash64_batch
+    from ..functions.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        h = hash64_batch([str(int(k)) for k in np.unique(keys)])
+        sk = HyperLogLog(p).add_hashes(h)
+        return pa.table({"registers": pa.array([sk.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .iter_batches(batch_format="pyarrow")):
+        for blob in b["registers"].to_pylist():
+            merged.merge(HyperLogLog.from_bytes(blob, p))
+    return pd.DataFrame({
+        "n_distinct_est": pd.Series([int(round(merged.estimate()))],
+                                    dtype="int64")})
+
+
+def q_heavy_hitter_users(sf_dir: str, k: int = 10, capacity: int = 32):
+    """Top event-producing users via mergeable Space-Saving summaries —
+    the bounded-memory heavy-hitters pattern (at corpus scale the full
+    (key, count) map doesn't fit anywhere; each partial tracks ≤ capacity
+    keys and guarantees est-true ≤ err ≤ n/capacity). Per-batch partials
+    are exact value_counts; the driver merges the capped summaries in a
+    content-sorted (deterministic) order. Returns (user_id, est_count,
+    err) for the top k. Rows-only; the error/containment guarantees are
+    pinned against exact counts in tests."""
+    from ..functions.sketches import SpaceSaving
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate(
+            [("user_id", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"user_id": g["user_id"].cast(pa.int64()),
+                         "n": g["user_id_count"].cast(pa.int64())})
+
+    summaries = []
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .iter_batches(batch_format="pyarrow")):
+        s = SpaceSaving(capacity).offer(b["user_id"].to_pylist(),
+                                        b["n"].to_pylist())
+        summaries.append(s)
+    # deterministic merge order regardless of block arrival order
+    summaries.sort(key=lambda s: sorted(s.counts.items()))
+    merged = SpaceSaving(capacity)
+    for s in summaries:
+        merged.merge(s)
+    rows = merged.top(k)
+    return pd.DataFrame({
+        "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "est_count": pd.Series([r[1] for r in rows], dtype="int64"),
+        "err": pd.Series([r[2] for r in rows], dtype="int64"),
+    })
+
+
 def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
     """Image near-duplicate pairs by perceptual-hash hamming over DECODED
     pixels — the multimodal payload driven through the same banded-LSH
@@ -2142,6 +2213,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "multimodal_image_stats": q_multimodal_image_stats,
     "image_phash_dups": q_image_phash_dups,
+    "distinct_orders_hll": q_distinct_orders_hll,
+    "heavy_hitter_users": q_heavy_hitter_users,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "minhash_dup_clusters": q_minhash_dup_clusters,

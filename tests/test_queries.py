@@ -208,3 +208,39 @@ def test_entry_smoke():
     else:
         n = len(out)
     assert n >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_estimate_within_bound():
+    """HLL estimate vs exact COUNT(DISTINCT l_orderkey): within 3 standard
+    errors (1.04/sqrt(2^12) ≈ 1.6%)."""
+    from scraper_ray.pipelines.queries import q_distinct_orders_hll
+
+    est = int(q_distinct_orders_hll(SF_DIR)["n_distinct_est"].iloc[0])
+    exact = int(_duck(
+        "SELECT count(DISTINCT l_orderkey) AS n FROM lineitem")["n"].iloc[0])
+    assert abs(est - exact) <= 3 * (1.04 / 2 ** 6) * exact + 2, (est, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_guarantees_vs_exact():
+    """Space-Saving top users vs exact counts: every returned estimate
+    overestimates by at most its reported err (err ≤ n/capacity), and
+    every user whose true count exceeds n/capacity is present in the
+    summary's top-capacity (checked via the top-k slice when it fits)."""
+    from scraper_ray.pipelines.queries import q_heavy_hitter_users
+
+    got = q_heavy_hitter_users(SF_DIR, k=32, capacity=32)
+    exact = _duck("SELECT user_id, count(*) AS n FROM events "
+                  "GROUP BY user_id")
+    true = dict(zip(exact["user_id"].astype(int), exact["n"].astype(int)))
+    n = int(exact["n"].sum())
+    bound = n / 32
+    for _, r in got.iterrows():
+        t = true.get(int(r["user_id"]), 0)
+        assert 0 <= r["est_count"] - t <= r["err"] + 1e-9, dict(r)
+        assert r["err"] <= bound + 1e-9
+    present = set(got["user_id"].astype(int))
+    for u, c in true.items():
+        if c > bound:
+            assert u in present, (u, c, bound)
