@@ -2007,6 +2007,112 @@ def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
     return out[["query_id", "neighbor_id"]].reset_index(drop=True)
 
 
+def q_ann_pq(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
+             n_sub: int = 8, n_cent: int = 16, rerank: int = 64):
+    """Product-quantization ANN — the code-compression scale path next to
+    brute force and IVF: vectors are encoded as ``n_sub`` sub-space
+    centroid ids (here 8 × 4 bits = 4 bytes vs d×8-byte floats — the
+    representation that lets a 100 TB embedding corpus be scanned from
+    memory), queries score codes via asymmetric-distance lookup tables
+    (one (n_sub × n_cent) table per query, scanned with numpy gathers) and
+    only the per-batch top-``rerank`` candidates are reranked with exact
+    cosine. Codebooks are deterministic k-means (seeded, 3 iterations) on
+    the same bounded streamed head as IVF — never a full-table driver
+    read. Returns (query_id, neighbor_id); recall vs brute force is
+    pinned in tests (pruning + quantization are the point)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    train_rows = 8192
+    emb_file = f"{sf_dir}/embeddings.parquet"
+    pf = pq.ParquetFile(emb_file)
+    head_batches, got_rows = [], 0
+    for rb in pf.iter_batches(batch_size=4096,
+                              columns=["vec_id", "embedding"]):
+        head_batches.append(rb)
+        got_rows += rb.num_rows
+        if got_rows >= train_rows:
+            break
+    head = pa.Table.from_batches(head_batches).slice(0, train_rows)
+    ids_all = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
+    m_all = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+    d = m_all.shape[1]
+    assert d % n_sub == 0, (d, n_sub)
+    sub_d = d // n_sub
+
+    # deterministic per-subspace codebooks (seeded init, 3 Lloyd iterations)
+    rng = np.random.Generator(np.random.PCG64(42))
+    sample = m_all[rng.choice(len(m_all), size=min(len(m_all), 4096),
+                              replace=False)]
+    books = np.empty((n_sub, n_cent, sub_d))
+    for s in range(n_sub):
+        xs = sample[:, s * sub_d:(s + 1) * sub_d]
+        cent = xs[rng.choice(len(xs), size=n_cent, replace=False)].copy()
+        for _ in range(3):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_cent):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books[s] = cent
+
+    qids = ids_all[:nq].tolist()
+    qm = m_all[:nq]
+    # ADC tables: for cosine on unit vectors, score = sum_s q_s · cent_s
+    luts = np.einsum("qsd,scd->qsc", qm.reshape(nq, n_sub, sub_d),
+                     books)  # (nq, n_sub, n_cent)
+    bcast = ray.put((qids, qm, books, luts))
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_, books_, luts_ = ray.get(bcast)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(vids)
+        # encode the batch once: per subspace, nearest codebook centroid
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            xs = m[:, s * sub_d:(s + 1) * sub_d]
+            d2 = ((xs[:, None, :] - books_[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        sub_idx = np.arange(n_sub)
+        for qi, qid in enumerate(qids_):
+            # ADC score via table gathers: sum over subspaces
+            score = luts_[qi][sub_idx[None, :], codes].sum(axis=1)
+            mask = vids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # candidate pool by PQ score, then exact-cosine rerank
+            cand = idx[np.argsort(-score[idx], kind="stable")[:rerank]]
+            sims = np.round(m[cand] @ qm_[qi], 6)
+            order = cand[np.lexsort((vids[cand], -sims))][:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["neighbor_id"].extend(vids[order].tolist())
+            sel = np.round(m[order] @ qm_[qi], 6)
+            rows["sim"].extend(sel.tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64()),
+        })
+
+    ds = rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+    parts = ds.map_batches(topk_batch, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64")})
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_id", as_index=False).head(k)
+    return out[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+
 def q_multimodal_image_stats(sf_dir: str):
     """Multimodal pipeline over binary image columns: build the images input
     table (captions from the sf documents table), then actor-pool
@@ -2211,6 +2317,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "multimodal_image_stats": q_multimodal_image_stats,
     "image_phash_dups": q_image_phash_dups,
     "distinct_orders_hll": q_distinct_orders_hll,

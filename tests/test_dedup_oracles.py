@@ -357,3 +357,31 @@ def test_image_phash_dups_vs_brute_force():
         if fmt in ("png", "lqi"):
             pair = tuple(sorted((ids[i], ids[i] + "-re")))
             assert pair in got, pair
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_pq_recall_vs_numpy_brute_force():
+    """PQ-ADC + exact rerank recall@k against the from-scratch numpy truth
+    — with a generous per-batch rerank pool on this small corpus the
+    quantization loss should be mild even on unstructured vectors."""
+    from scraper_ray.pipelines.queries import ANN_K, ANN_NQ, q_ann_pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    approx = q_ann_pq(SF)
+    recalls = []
+    for qi in range(ANN_NQ):
+        qid = int(vids[qi])
+        sims = np.round(mn[qi] @ mn.T, 6)
+        idx = np.nonzero(vids != qid)[0]
+        order = idx[np.lexsort((vids[idx], -sims[idx]))][:ANN_K]
+        truth = {int(vids[o]) for o in order}
+        got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"]
+                  .astype(int))
+        recalls.append(len(truth & got) / ANN_K)
+    assert np.mean(recalls) >= 0.6, recalls
+    # determinism (seeded codebooks, stable sorts)
+    pd.testing.assert_frame_equal(q_ann_pq(SF), approx)
