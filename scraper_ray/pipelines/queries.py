@@ -2228,6 +2228,47 @@ def q_heavy_hitter_users(sf_dir: str, k: int = 10, capacity: int = 32):
     })
 
 
+def q_token_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Approximate token-count quantiles via a mergeable log-spaced
+    histogram — the corpus-scale quantile pattern (an exact quantile needs
+    a global sort; a histogram partial is 256 int64 bins per batch, merged
+    by elementwise SUM — order/parallelism independent like the HLL
+    merge). Bins are powers of 2^(1/8) (relative width ~9%), so the
+    reported quantile is the bin's upper edge: within one bin of exact,
+    i.e. a ≤9% relative error bound, pinned against exact quantiles in
+    tests. Returns (quantile, n_tokens_le)."""
+    NBINS = 256
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(zero_copy_only=False)
+        ntok = np.maximum(ntok.astype(np.float64), 1.0)
+        bins = np.minimum((np.log2(ntok) * 8).astype(np.int64), NBINS - 1)
+        hist = np.bincount(bins, minlength=NBINS).astype(np.int64)
+        return pa.table({"hist": pa.array([hist.tobytes()], pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merged = np.zeros(NBINS, dtype=np.int64)
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .iter_batches(batch_format="pyarrow")):
+        for blob in b["hist"].to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64)
+    total = int(merged.sum())
+    cum = np.cumsum(merged)
+    rows_q, rows_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        bin_idx = int(np.searchsorted(cum, rank))
+        upper = int(np.ceil(2 ** ((bin_idx + 1) / 8)))  # bin upper edge
+        rows_q.append(q)
+        rows_v.append(upper)
+    return pd.DataFrame({
+        "quantile": pd.Series(rows_q, dtype="float64"),
+        "n_tokens_le": pd.Series(rows_v, dtype="int64"),
+    })
+
+
 def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
     """Image near-duplicate pairs by perceptual-hash hamming over DECODED
     pixels — the multimodal payload driven through the same banded-LSH
@@ -2322,6 +2363,7 @@ QUERIES = {
     "image_phash_dups": q_image_phash_dups,
     "distinct_orders_hll": q_distinct_orders_hll,
     "heavy_hitter_users": q_heavy_hitter_users,
+    "token_quantiles": q_token_quantiles,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "minhash_dup_clusters": q_minhash_dup_clusters,

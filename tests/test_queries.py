@@ -244,3 +244,19 @@ def test_heavy_hitters_guarantees_vs_exact():
     for u, c in true.items():
         if c > bound:
             assert u in present, (u, c, bound)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_quantiles_within_bin_error():
+    """Histogram quantiles vs exact: the reported value is the containing
+    log-bin's upper edge — exact value must lie in (upper/2^(1/8), upper]."""
+    from scraper_ray.pipelines.queries import q_token_quantiles
+
+    got = q_token_quantiles(SF_DIR)
+    exact = _duck(
+        "SELECT quantile_disc(len(string_split(text, ' ')), [0.5, 0.9, 0.99])"
+        " AS qs FROM documents")["qs"].iloc[0]
+    for (_, row), ex in zip(got.iterrows(), list(exact)):
+        upper = row["n_tokens_le"]
+        assert ex <= upper + 1e-9, (row["quantile"], ex, upper)
+        assert ex > upper / (2 ** (1 / 8)) - 1.5, (row["quantile"], ex, upper)
