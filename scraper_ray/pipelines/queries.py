@@ -360,6 +360,73 @@ GROUP BY o_orderpriority
 """
 
 
+def q_customer_order_counts(sf_dir: str, num_buckets: int = 16):
+    """LEFT OUTER join shape: per-customer order count INCLUDING
+    zero-order customers — the join family's missing-side case. Both
+    sides large at scale, so one bucketed exchange on custkey with the
+    orders side pre-aggregated to (custkey, n) partials before it moves;
+    customers absent from orders zero-fill inside the bucket join.
+    Returns (n_orders, n_customers): the count-of-counts histogram, so
+    the result is aggregate-sized, not customer-sized."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_custkey", "count", pc.CountOptions(mode="all"))])
+        keys = g["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+            "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+            "custkey": g["o_custkey"].cast(pa.int64()),
+            "n": g["o_custkey_count"].cast(pa.int64()),
+        })
+
+    def c_tag(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+            "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            "custkey": t["c_custkey"].cast(pa.int64()),
+            "n": pa.array(np.zeros(len(keys), dtype=np.int64)),
+        })
+
+    def outer_join(g: pd.DataFrame) -> pd.DataFrame:
+        o = (g[g["side"] == 0].groupby("custkey", as_index=False)["n"].sum())
+        c = g[g["side"] == 1][["custkey"]]
+        m = c.merge(o, on="custkey", how="left").fillna({"n": 0})
+        # count-of-counts partial per bucket (zero-order customers included)
+        out = (m.groupby("n", as_index=False).size()
+               .rename(columns={"n": "n_orders", "size": "n_customers"}))
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    df = (orders.map_batches(o_partial, batch_format="pyarrow",
+                             batch_size=65536)
+          .union(cust.map_batches(c_tag, batch_format="pyarrow"))
+          .groupby("bucket")
+          .map_groups(outer_join, batch_format="pandas")
+          .groupby("n_orders")
+          .aggregate(Sum("n_customers", alias_name="n_customers"))
+          .to_pandas())
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df
+
+
+Q_CUSTOMER_ORDER_COUNTS_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3b. multi-way join (TPC-H q5 shape): two CHAINED large-large bucketed
 #     exchanges (orders⋈customer on custkey, then lineitem⋈that on orderkey)
@@ -2345,6 +2412,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_building_orders,
     "priority_revenue_join": q_priority_revenue,
+    "customer_order_counts": q_customer_order_counts,
     "regional_revenue_q5": q_regional_revenue,
     "cull_known_anti_join": q_cull_known,
     "lang_source_counts": q_lang_source_counts,
@@ -2385,6 +2453,7 @@ ORACLE_SQL = {
     "pricing_summary": Q_PRICING_SQL,
     "top_building_orders": Q_TOP_BUILDING_SQL,
     "priority_revenue_join": Q_PRIORITY_REVENUE_SQL,
+    "customer_order_counts": Q_CUSTOMER_ORDER_COUNTS_SQL,
     "regional_revenue_q5": Q_REGIONAL_REVENUE_SQL,
     "cull_known_anti_join": Q_CULL_SQL,
     "lang_source_counts": Q_LANG_SOURCE_SQL,
