@@ -2245,9 +2245,18 @@ def q_distinct_orders_hll(sf_dir: str, p: int = 12):
         sk = HyperLogLog(p).add_hashes(h)
         return pa.table({"registers": pa.array([sk.to_bytes()], pa.binary())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        # tree-reduce stage: ≤1024 partial registers → 1 (associative max-
+        # merge), so the driver sees blocks/1024 KB-rows even at 100 TB
+        sk = HyperLogLog(p)
+        for blob in t["registers"].to_pylist():
+            sk.merge(HyperLogLog.from_bytes(blob, p))
+        return pa.table({"registers": pa.array([sk.to_bytes()], pa.binary())})
+
     merged = HyperLogLog(p)
     for b in (ds.map_batches(partial, batch_format="pyarrow",
                              batch_size=65536)
+              .map_batches(combine, batch_size=1024)
               .iter_batches(batch_format="pyarrow")):
         for blob in b["registers"].to_pylist():
             merged.merge(HyperLogLog.from_bytes(blob, p))
@@ -2314,10 +2323,18 @@ def q_token_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
         hist = np.bincount(bins, minlength=NBINS).astype(np.int64)
         return pa.table({"hist": pa.array([hist.tobytes()], pa.binary())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        # tree-reduce: many partial histograms → one (associative sum)
+        acc = np.zeros(NBINS, dtype=np.int64)
+        for blob in t["hist"].to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"hist": pa.array([acc.tobytes()], pa.binary())})
+
     ds = _read(sf_dir, "documents", ["text"])
     merged = np.zeros(NBINS, dtype=np.int64)
     for b in (ds.map_batches(partial, batch_format="pyarrow",
                              batch_size=65536)
+              .map_batches(combine, batch_size=1024)
               .iter_batches(batch_format="pyarrow")):
         for blob in b["hist"].to_pylist():
             merged += np.frombuffer(blob, dtype=np.int64)
