@@ -2256,7 +2256,7 @@ def q_distinct_orders_hll(sf_dir: str, p: int = 12):
     merged = HyperLogLog(p)
     for b in (ds.map_batches(partial, batch_format="pyarrow",
                              batch_size=65536)
-              .map_batches(combine, batch_size=1024)
+              .map_batches(combine, batch_format="pyarrow", batch_size=1024)
               .iter_batches(batch_format="pyarrow")):
         for blob in b["registers"].to_pylist():
             merged.merge(HyperLogLog.from_bytes(blob, p))
@@ -2334,7 +2334,7 @@ def q_token_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     merged = np.zeros(NBINS, dtype=np.int64)
     for b in (ds.map_batches(partial, batch_format="pyarrow",
                              batch_size=65536)
-              .map_batches(combine, batch_size=1024)
+              .map_batches(combine, batch_format="pyarrow", batch_size=1024)
               .iter_batches(batch_format="pyarrow")):
         for blob in b["hist"].to_pylist():
             merged += np.frombuffer(blob, dtype=np.int64)
