@@ -360,6 +360,80 @@ GROUP BY o_orderpriority
 """
 
 
+def q_promo_revenue(sf_dir: str, num_buckets: int = 16):
+    """TPC-H Q14 shape (lineitem ⋈ part on partkey): revenue split by
+    whether the part's type is PROMO — per p_type-class sums in exact
+    integer units. The part side is large at scale, so ONE bucketed
+    exchange with the lineitem side pre-aggregated per partkey before it
+    moves (the priority_revenue pattern over the remaining unexercised
+    testdata table)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                          pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                         pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        g = (pa.table({"l_partkey": t["l_partkey"], "revenue_c4": rev})
+             .group_by("l_partkey").aggregate([("revenue_c4", "sum")]))
+        keys = g["l_partkey"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        return pa.table({
+            "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "partkey": g["l_partkey"].cast(pa.int64()),
+            "revenue_c4": g["revenue_c4_sum"].cast(pa.int64()),
+            "is_promo": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def p_tag(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        promo = pc.cast(pc.equal(t["p_type"], "PROMO"), pa.int8())
+        n = len(keys)
+        return pa.table({
+            "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "partkey": t["p_partkey"].cast(pa.int64()),
+            "revenue_c4": pa.array(np.zeros(n, dtype=np.int64)),
+            "is_promo": promo,
+        })
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0].groupby("partkey", as_index=False)["revenue_c4"].sum()
+        r = g[g["side"] == 1][["partkey", "is_promo"]]
+        m = l.merge(r, on="partkey", how="inner")
+        return (m.groupby("is_promo", as_index=False)["revenue_c4"].sum())
+
+    df = (li.map_batches(li_partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .union(part.map_batches(p_tag, batch_format="pyarrow"))
+          .groupby("bucket")
+          .map_groups(join_bucket, batch_format="pandas")
+          .groupby("is_promo")
+          .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+          .to_pandas())
+    df["is_promo"] = df["is_promo"].astype("int64")
+    df["revenue_c4"] = df["revenue_c4"].astype("int64")
+    return df
+
+
+Q_PROMO_REVENUE_SQL = """
+SELECT CAST(p_type = 'PROMO' AS BIGINT) AS is_promo,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def q_customer_order_counts(sf_dir: str, num_buckets: int = 16):
     """LEFT OUTER join shape: per-customer order count INCLUDING
     zero-order customers — the join family's missing-side case. Both
@@ -2430,6 +2504,7 @@ QUERIES = {
     "top_building_orders": q_top_building_orders,
     "priority_revenue_join": q_priority_revenue,
     "customer_order_counts": q_customer_order_counts,
+    "promo_revenue": q_promo_revenue,
     "regional_revenue_q5": q_regional_revenue,
     "cull_known_anti_join": q_cull_known,
     "lang_source_counts": q_lang_source_counts,
@@ -2471,6 +2546,7 @@ ORACLE_SQL = {
     "top_building_orders": Q_TOP_BUILDING_SQL,
     "priority_revenue_join": Q_PRIORITY_REVENUE_SQL,
     "customer_order_counts": Q_CUSTOMER_ORDER_COUNTS_SQL,
+    "promo_revenue": Q_PROMO_REVENUE_SQL,
     "regional_revenue_q5": Q_REGIONAL_REVENUE_SQL,
     "cull_known_anti_join": Q_CULL_SQL,
     "lang_source_counts": Q_LANG_SOURCE_SQL,
