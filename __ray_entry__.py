@@ -26,17 +26,14 @@ def entry() -> Any:
     checkpoint) and the archived image+caption rows are returned as a
     ``ray.data.Dataset``.
     """
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from scraper_ray.pipelines.queries import _head_texts
     from scraper_ray.sources.fixtures import build_images_table
 
-    docs = pq.read_table(
-        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
-    )
-    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
-    images = build_images_table(48, captions=captions)
+    images = build_images_table(
+        48, captions=_head_texts("/root/testdata/sf0.001"))
 
     out_dir = os.path.join(tempfile.gettempdir(), "scraper_ray_entry")
     shutil.rmtree(out_dir, ignore_errors=True)

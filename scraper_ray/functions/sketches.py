@@ -269,11 +269,28 @@ class SpaceSaving:
             else:
                 mk = min(self.counts, key=lambda x: (self.counts[x], x))
                 mc = self.counts.pop(mk)
-                me = self.errors.pop(mk)
-                del me  # evicted key's error dies with it
+                self.errors.pop(mk)  # evicted key's error dies with it
                 self.counts[k] = mc + c
                 self.errors[k] = mc
         return self
+
+    def to_bytes(self) -> bytes:
+        """Canonical serialization (sorted items) for in-pipeline
+        transport of capacity-bounded summaries."""
+        import pickle
+
+        return pickle.dumps((self.capacity, sorted(self.counts.items()),
+                             sorted(self.errors.items())))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "SpaceSaving":
+        import pickle
+
+        cap, counts, errors = pickle.loads(blob)
+        s = cls(cap)
+        s.counts = dict(counts)
+        s.errors = dict(errors)
+        return s
 
     def _floor(self) -> int:
         """Upper bound on any UNTRACKED key's true count: the summary's min

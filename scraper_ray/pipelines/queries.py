@@ -2254,6 +2254,21 @@ def q_ann_pq(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
     return out[["query_id", "neighbor_id"]].reset_index(drop=True)
 
 
+def _head_texts(sf_dir: str, n: int = 64, clip: int = 120) -> list:
+    """First ``n`` document texts via a BOUNDED streamed read (row groups
+    until n rows are in hand — never the whole text column on the driver;
+    at corpus scale that column is the corpus)."""
+    import pyarrow.parquet as pq
+
+    out: list = []
+    for rb in pq.ParquetFile(f"{sf_dir}/documents.parquet").iter_batches(
+            batch_size=max(n, 1), columns=["text"]):
+        out.extend(rb["text"].to_pylist())
+        if len(out) >= n:
+            break
+    return [t[:clip] for t in out[:n]]
+
+
 def q_multimodal_image_stats(sf_dir: str):
     """Multimodal pipeline over binary image columns: build the images input
     table (captions from the sf documents table), then actor-pool
@@ -2264,11 +2279,7 @@ def q_multimodal_image_stats(sf_dir: str):
     from ..stages.multimodal import DecodeImages
     from ray.data.aggregate import Count, Sum
 
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
-    images = build_images_table(48, captions=captions)
+    images = build_images_table(48, captions=_head_texts(sf_dir))
     ds = rd.from_arrow(images)
     # single fused decode+features stage: each blob is decoded once
     feats = ds.map_batches(DecodeImages, batch_format="pyarrow", batch_size=16,
@@ -2353,18 +2364,34 @@ def q_heavy_hitter_users(sf_dir: str, k: int = 10, capacity: int = 32):
     ds = _read(sf_dir, "events", ["user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # per-batch exact counts → ONE capacity-bounded summary blob: only
+        # capped summaries ever leave a task, never the raw key traffic
         g = t.group_by("user_id").aggregate(
             [("user_id", "count", pc.CountOptions(mode="all"))])
-        return pa.table({"user_id": g["user_id"].cast(pa.int64()),
-                         "n": g["user_id_count"].cast(pa.int64())})
+        s = SpaceSaving(capacity).offer(
+            g["user_id"].cast(pa.int64()).to_pylist(),
+            g["user_id_count"].to_pylist())
+        return pa.table({"summary": pa.array([s.to_bytes()], pa.binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        # tree-reduce stage (content-sorted for a deterministic merge
+        # order): ≤1024 summaries → 1, so the driver sees blocks/1024
+        # capacity-bounded blobs even at 100 TB
+        parts = sorted((SpaceSaving.from_bytes(b)
+                        for b in t["summary"].to_pylist()),
+                       key=lambda s: sorted(s.counts.items()))
+        acc = SpaceSaving(capacity)
+        for s in parts:
+            acc.merge(s)
+        return pa.table({"summary": pa.array([acc.to_bytes()], pa.binary())})
 
     summaries = []
     for b in (ds.map_batches(partial, batch_format="pyarrow",
                              batch_size=65536)
+              .map_batches(combine, batch_format="pyarrow", batch_size=1024)
               .iter_batches(batch_format="pyarrow")):
-        s = SpaceSaving(capacity).offer(b["user_id"].to_pylist(),
-                                        b["n"].to_pylist())
-        summaries.append(s)
+        summaries.extend(SpaceSaving.from_bytes(blob)
+                         for blob in b["summary"].to_pylist())
     # deterministic merge order regardless of block arrival order
     summaries.sort(key=lambda s: sorted(s.counts.items()))
     merged = SpaceSaving(capacity)
@@ -2443,16 +2470,13 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
     in-bucket hamming pair_filter → (image_id_a, image_id_b). Rows-only
     (decode + LSH are not SQL-expressible); pinned against brute-force
     hamming and the planted-pair inventory in tests."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from ..functions.sketches import hamming64_batch
     from ..sources.fixtures import build_images_with_reencodes
     from ..stages.multimodal import DecodeImages
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
-    images = build_images_with_reencodes(32, captions=captions)
+    images = build_images_with_reencodes(32, captions=_head_texts(sf_dir))
     id_of = images["image_id"].to_pylist()  # rid -> image_id (local table)
     images = images.append_column(
         "rid", pa.array(np.arange(images.num_rows, dtype=np.int64)))

@@ -333,9 +333,12 @@ def test_image_phash_dups_vs_brute_force():
     captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
     images = build_images_with_reencodes(32, captions=captions)
     ids = images["image_id"].to_pylist()
+    # phash is signed int64; go through a view (negative Python ints into
+    # a uint64 array is rejected by NumPy 2.x)
     hashes = np.array(
         [codec.phash(codec.decode(b.as_py(), f.as_py()))
-         for b, f in zip(images["bytes"], images["fmt"])], dtype=np.uint64)
+         for b, f in zip(images["bytes"], images["fmt"])],
+        dtype=np.int64).view(np.uint64)
     x = hashes[:, None] ^ hashes[None, :]
     ham = np.zeros(x.shape, dtype=np.int64)
     while x.any():
