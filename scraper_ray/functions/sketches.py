@@ -238,6 +238,13 @@ class HyperLogLog:
 
     @classmethod
     def from_bytes(cls, blob: bytes, p: int = 12) -> "HyperLogLog":
+        # a p mismatch must fail loudly: merge() only asserts p equality,
+        # so a blob serialized under a different p would otherwise become a
+        # sketch whose register count silently disagrees with its p
+        if len(blob) != 1 << p:
+            raise ValueError(
+                f"register blob is {len(blob)} bytes but p={p} implies "
+                f"{1 << p}; was it serialized with a different p?")
         return cls(p, np.frombuffer(blob, dtype=np.uint8).copy())
 
 

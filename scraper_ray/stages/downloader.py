@@ -319,7 +319,12 @@ class RecordingHTTPDownloader(HTTPDownloader):
         self.record_dir = record_dir
 
     def _get(self, url: str):
-        host = url.split("/")[2]
+        from urllib.parse import urlsplit
+
+        # urlsplit().hostname strips any :port and lowercases — a
+        # split("/")[2] parse would mis-bucket hosts with explicit ports
+        # (and crash on non-absolute URLs), corrupting the politeness audit
+        host = urlsplit(url).hostname or ""
         path = os.path.join(self.record_dir, f"{os.getpid()}.log")
         with open(path, "a") as f:
             f.write(f"{host}\t{time.monotonic():.6f}\n")

@@ -470,6 +470,19 @@ class StateShard:
         self.drained_total = int(meta["drained_total"])
         self.pending = {}
         self.pending_count = 0
+        # a shard instance that previously spilled must drop that spill
+        # state: the checkpoint snapshot already CONTAINS the spilled rows
+        # (checkpoint concatenates memory + spill files), so stale spill
+        # registrations would double-count frontier_size and fold duplicate
+        # frontier URLs back in on the next fence-failing drain
+        for path in self._spill_files:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        self._spill_files = []
+        self._spilled_rows = 0
+        self._spill_fence = {}
         t = pq.read_table(os.path.join(d, "frontier.parquet"))
         for url, host, prio, depth in zip(
             t["url"].to_pylist(), t["host"].to_pylist(),

@@ -263,3 +263,34 @@ def test_fence_fuzz_matches_always_unspill_reference(tmp_path):
         assert ref.frontier_size() == spl.frontier_size()
 
     run()
+
+
+def test_restore_into_previously_spilled_shard_clears_spill_state(tmp_path):
+    """restore() on a shard instance that has spilled must drop the stale
+    spill registrations: the checkpoint snapshot already contains those rows
+    (memory + spill files concatenated), so keeping them would double-count
+    frontier_size and fold duplicates back in on a later fence-failing
+    drain (ADVICE round 3)."""
+    import os
+
+    sh = StateShard(0, 1, rate=100, burst=100, spill_threshold=1 << 40,
+                    spill_dir=str(tmp_path / "spill"))
+    urls = [f"http://a.test/p/{i}" for i in range(40)]
+    _insert(sh, urls, ["a.test"] * 40)
+    sh._spill()
+    assert sh._spill_files and sh._spilled_rows > 0
+    old_files = list(sh._spill_files)
+    d = str(tmp_path / "ckpt")
+    sh.checkpoint(d)  # snapshot contains memory + spilled rows
+    sh.restore(d)  # restore into the SAME (previously-spilled) instance
+    assert sh._spill_files == [] and sh._spilled_rows == 0
+    assert sh._spill_fence == {}
+    assert all(not os.path.exists(p) for p in old_files)  # orphans deleted
+    assert sh.frontier_size() == 40  # not double-counted
+    got = []
+    for _ in range(10):
+        t = sh.drain()
+        if t.num_rows == 0:
+            break
+        got.extend(t["url"].to_pylist())
+    assert sorted(got) == sorted(urls)  # no duplicate frontier URLs

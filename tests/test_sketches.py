@@ -87,6 +87,13 @@ def test_hyperloglog_accuracy_and_merge_order_independence():
     blob = a.to_bytes()
     assert np.array_equal(HyperLogLog.from_bytes(blob, 12).registers,
                           a.registers)
+    # p mismatch between serialize and deserialize must fail loudly, not
+    # produce a sketch whose register count disagrees with its p
+    import pytest
+    with pytest.raises(ValueError, match="register blob"):
+        HyperLogLog.from_bytes(blob, 11)
+    with pytest.raises(ValueError, match="register blob"):
+        HyperLogLog.from_bytes(HyperLogLog(10).to_bytes(), 12)
 
 
 def test_space_saving_bounds_and_heavy_hitter_containment():
