@@ -5,9 +5,12 @@ Each wave (round):
 
 1. **drain** — every StateShard releases its politeness-budgeted,
    priority-ordered slice of the frontier (replaces the RabbitMQ ``frontier``
-   queue consume, `rmqredis.rs:213-257`); the driver sorts the union by
-   ``(-priority, host, url)`` — the canonical deterministic wave order the
-   reference never had (its order was broker+HashSet nondeterministic).
+   queue consume, `rmqredis.rs:213-257`); the canonical wave order
+   ``(-priority, host, url)`` lives in the shards' order fragments (sorted at
+   read time by ``read_order``) — the deterministic wave order the reference
+   never had (its order was broker+HashSet nondeterministic). The wave tables
+   themselves never transit the driver: it resolves row COUNTS only and
+   routes ObjectRef spans to the worker pool.
 2. **fetch** — ``map_batches(Fetcher, concurrency=…)`` actor pool resolves
    pages + image payloads (zero-copy Arrow batches; the wave is then
    materialized once — bounded by the politeness budget — so the archive sink
@@ -287,10 +290,16 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         if os.path.exists(odir):
             shutil.rmtree(odir)  # idempotent replay after resume
         os.makedirs(odir, exist_ok=True)
-        drained = ray.get([s.drain.remote(True, max_rows, odir, r)
-                           for s in shards])
-        nonempty = [t for t in drained if t.num_rows]
-        wave_rows = sum(t.num_rows for t in nonempty)
+        # the wave tables NEVER transit the driver: drain_wave returns
+        # (table, num_rows) as two object refs; the driver resolves only the
+        # counts and routes (table_ref, offset, length) spans to the pool —
+        # workers ray.get/slice locally (plasma-cached, zero-copy). See
+        # WaveWorkerPool.process_spans.
+        pairs = [s.drain_wave.options(num_returns=2)
+                 .remote(True, max_rows, odir, r) for s in shards]
+        table_refs = [p[0] for p in pairs]
+        counts = ray.get([p[1] for p in pairs])
+        wave_rows = int(sum(counts))
         if wave_rows == 0:
             os.rmdir(odir)
             sizes = ray.get([s.frontier_size.remote() for s in shards])
@@ -309,38 +318,56 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
                 shutil.rmtree(rdir)
         # adaptive chunking: ~2 chunks per pool worker (tail overlap without
         # a per-batch shard-call storm); cfg.batch_size caps chunk rows.
-        # The per-shard tables are concatenated ZERO-COPY (chunked arrays —
-        # no sort, no row copies; the canonical order lives in the order
-        # fragments) purely so chunk sizes divide the wave evenly: slicing
-        # shard-by-shard left workers with 2-vs-3 unequal chunks and the
-        # round barrier waiting on stragglers (measured ~12% at 16 cores).
-        # Results are chunk-boundary-insensitive by design (atomic seen-set,
-        # depth = round discovered), pinned by the parity suite.
+        # Chunk boundaries are computed on the COUNTS only — the global wave
+        # is the logical concatenation of the non-empty shard tables in shard
+        # order, and each chunk becomes a list of (table_ref, offset, length)
+        # spans (a chunk may straddle a shard boundary). Chunk sizes divide
+        # the wave evenly: slicing shard-by-shard left workers with 2-vs-3
+        # unequal chunks and the round barrier waiting on stragglers
+        # (measured ~12% at 16 cores). Results are chunk-boundary-insensitive
+        # by design (atomic seen-set, depth = round discovered), pinned by
+        # the parity suite.
         bs = max(min(512, cfg.batch_size),
                  min(cfg.batch_size,
                      -(-wave_rows // (2 * cfg.fetch_concurrency))))
         if cfg.chunk_affinity == "host":
-            # host-affine: shard p's slice always goes to worker p % W, so
+            # host-affine: shard p's slices always go to worker p % W, so
             # each worker's wall-clock token buckets own their hosts
             # globally (the host→shard map is fixed). Chunks within a
             # shard stay on that worker.
             futs = []
-            for p, t in enumerate(drained):
-                if not t.num_rows:
+            for p, (ref, n_p) in enumerate(zip(table_refs, counts)):
+                if not n_p:
                     continue
                 w = workers[p % len(workers)]
-                k = max(1, -(-t.num_rows // bs))
-                step = -(-t.num_rows // k)
-                futs.extend(w.process.remote(t.slice(off, step), r)
-                            for off in range(0, t.num_rows, step))
+                k = max(1, -(-n_p // bs))
+                step = -(-n_p // k)
+                futs.extend(
+                    w.process_spans.remote(
+                        [(ref, off, min(step, n_p - off))], r)
+                    for off in range(0, n_p, step))
         else:
-            wave = pa.concat_tables(nonempty)
+            nonempty = [(ref, n_p)
+                        for ref, n_p in zip(table_refs, counts) if n_p]
+            starts = np.cumsum([0] + [n for _, n in nonempty])
             nchunks = max(1, -(-wave_rows // bs))
             step = (wave_rows + nchunks - 1) // nchunks
-            chunks = [wave.slice(i * step, step) for i in range(nchunks)
-                      if i * step < wave_rows]
-            futs = [workers[i % len(workers)].process.remote(c, r)
-                    for i, c in enumerate(chunks)]
+            futs = []
+            for i in range(nchunks):
+                g0, g1 = i * step, min((i + 1) * step, wave_rows)
+                if g0 >= g1:
+                    continue
+                spans = []
+                j = int(np.searchsorted(starts, g0, side="right")) - 1
+                while j < len(nonempty) and starts[j] < g1:
+                    ref, n_p = nonempty[j]
+                    off = max(0, g0 - int(starts[j]))
+                    end = min(n_p, g1 - int(starts[j]))
+                    if end > off:
+                        spans.append((ref, int(off), int(end - off)))
+                    j += 1
+                futs.append(workers[i % len(workers)]
+                            .process_spans.remote(spans, r))
         summaries = ray.get(futs)
 
         agg = {k: 0.0 for k in (

@@ -494,6 +494,23 @@ class WaveWorkerPool(WaveWorker):
         super().__init__(round_idx=0, **kw)
         self.router.blocking = False
 
+    def process_spans(self, spans: list, round_idx: int) -> dict:
+        """Resolve + slice wave ObjectRefs worker-side and run the fused wave
+        stage on the result.
+
+        ``spans`` is ``[(table_ref, offset, length), …]`` — the driver routes
+        REFERENCES of the shard-drained wave tables (it never ``ray.get``s
+        them), and each worker pulls only here. ``ray.get`` of the same ref
+        is plasma-cached per node and the slice/concat is zero-copy, so a
+        chunk spanning a shard boundary costs no row copies. Replaces the
+        old driver-side concat+slice data-plane hop (round-3 verdict item 1).
+        """
+        import ray
+
+        parts = [ray.get(ref).slice(off, ln) for ref, off, ln in spans]
+        batch = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        return self.process(batch, round_idx)
+
     def process(self, batch: pa.Table, round_idx: int) -> dict:
         self.round_idx = round_idx
         if self.dl.html_mode:

@@ -296,6 +296,22 @@ class StateShard:
             )
         return out
 
+    def drain_wave(self, refill: bool = True, max_rows: int | None = None,
+                   order_sink: str | None = None,
+                   round_idx: int = 0) -> tuple[pa.Table, int]:
+        """:meth:`drain` returning ``(table, num_rows)`` as TWO values.
+
+        The crawl driver calls this with ``num_returns=2`` so the wave table
+        stays in the object store (the driver resolves only the row count and
+        routes the table's ObjectRef to pool workers). This mirrors the
+        reference's broker-mediated dataflow (`rmqredis.rs:213-257`) where the
+        coordinator never touches page rows — at 10^6+ hosts a per-round
+        ``ray.get`` of every shard's wave through one driver process is the
+        multi-node bottleneck.
+        """
+        t = self.drain(refill, max_rows, order_sink, round_idx)
+        return t, t.num_rows
+
     def frontier_size(self) -> int:
         return self.pending_count + self._spilled_rows
 

@@ -244,3 +244,35 @@ def test_wallclock_politeness_end_to_end_host_affinity(tmp_path):
                 max_allowed = burst + rate * (ts[j] - ts[i]) + 1.001
                 assert (j - i + 1) <= max_allowed, (
                     host, i, j, ts[j] - ts[i])
+
+
+# -- driver data-plane isolation ---------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_driver_never_resolves_wave_row_tables(tmp_path, monkeypatch):
+    """The crawl driver must route wave-table ObjectRefs to the worker pool
+    without ever ray.get-ing them (round-3 verdict item 1): at 10^6+ hosts a
+    per-round pull of every shard's wave through one driver process is the
+    multi-node bottleneck. We wrap ray.get IN THE DRIVER PROCESS and assert
+    no resolved value is a frontier-schema row table (workers resolve in
+    their own processes, unaffected by the monkeypatch)."""
+    import pyarrow as pa
+    import ray
+
+    frontier_cols = {"url", "host", "priority", "depth"}
+    violations = []
+    real_get = ray.get
+
+    def spy_get(obj, **kw):
+        out = real_get(obj, **kw)
+        vals = out if isinstance(out, list) else [out]
+        for v in vals:
+            if isinstance(v, pa.Table) and frontier_cols <= set(v.column_names):
+                violations.append(v.column_names)
+        return out
+
+    monkeypatch.setattr(ray, "get", spy_get)
+    cfg = _cfg(tmp_path, max_rounds=4)
+    res = run_crawl(cfg, build_images_table(cfg.n_images))
+    assert res["pages_total"] > 20  # the crawl actually ran waves
+    assert violations == []
