@@ -9,10 +9,13 @@ each kind to a task outcome (`errors.rs:89-183`):
   `rmqredis.rs:230-251`);
 - invalid task / URL / page / data, parse errors → ``Err`` (discard).
 
-Our engine reproduces the *actual* behaviour: every terminal error becomes a
-row in the ``errors`` output table carrying ``error_kind``; transient
-infrastructure failures are instead retried by Ray (task ``max_retries`` /
-actor restart), which is the non-bugged version of ``Reject``.
+Our engine reproduces the *actual* behaviour by default: every terminal error
+becomes a row in the ``errors`` output table carrying ``error_kind``.
+``CrawlConfig.retry_limit > 0`` instead enables the reference's *intent*:
+kinds in :data:`TRANSIENT_KINDS` requeue into the frontier with a bounded
+per-URL retry count (see ``state.shard.StateShard.reinsert``). Transient
+infrastructure failures inside Ray itself are additionally retried by Ray
+(task ``max_retries`` / actor restart).
 """
 
 from __future__ import annotations
@@ -53,6 +56,15 @@ def outcome_of(error_kind: str) -> str:
     if not error_kind:
         return OK
     return CLASSIFICATION.get(error_kind, ("?", ERR, ""))[1]
+
+
+#: kinds the reference maps to Reject (= intended requeue, errors.rs:89-183).
+#: With ``CrawlConfig.retry_limit > 0`` the engine requeues these rows into
+#: their host shard's frontier up to the limit (the non-bugged Reject);
+#: with the default 0 it reproduces the reference's actual drop behaviour.
+TRANSIENT_KINDS = frozenset(
+    k for k, (_, outcome, _) in CLASSIFICATION.items() if outcome == REJECT
+)
 
 
 # ---------------------------------------------------------------------------

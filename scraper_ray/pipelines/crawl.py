@@ -97,6 +97,13 @@ class CrawlConfig:
     chunk_affinity: str = "balanced"
     checkpoint_every: int = 1
     fail_mod: int = 0
+    # bounded transient-error requeue: 0 (default) reproduces the reference's
+    # ACTUAL drop behaviour (Reject's requeue flag bugged false,
+    # rmqredis.rs:230-251); N>0 enables the *intended* Reject semantics
+    # (errors.rs:89-183) — transient kinds re-enter their host shard's
+    # frontier with retries+1 until the per-URL budget is spent, after which
+    # they land in the errors table
+    retry_limit: int = 0
     verify_decode: bool = False  # per-row decode+PSNR invariant during fetch
     spill_threshold: int = 2_000_000
 
@@ -222,6 +229,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
             verify_decode=cfg.verify_decode,
             seen_partition=cfg.seen_partition,
             downloader_factory=downloader_factory,
+            retry_limit=cfg.retry_limit,
         )
         for _ in range(cfg.fetch_concurrency)
     ]
@@ -371,7 +379,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         summaries = ray.get(futs)
 
         agg = {k: 0.0 for k in (
-            "pages", "errors", "extracted_links", "normalised_links",
+            "pages", "errors", "retried", "extracted_links", "normalised_links",
             "filtered_links", "culled_links", "submitted_links",
             "download_ms", "extract_ms", "normalise_ms", "filter_ms",
             "culling_ms", "archive_ms",
@@ -428,6 +436,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
         "rounds": len(metrics_rows),
         "pages_total": pages_total,
         "errors_total": int(sum(m["errors"] for m in metrics_rows)),
+        "retried_total": int(sum(m.get("retried", 0) for m in metrics_rows)),
         "submitted_total": int(sum(m["submitted_links"] for m in metrics_rows)),
         "elapsed_sec": elapsed,
         "fetched_per_sec": pages_total / elapsed if elapsed > 0 else 0.0,
@@ -601,6 +610,10 @@ def parse_cli(argv=None):
     p.add_argument("--spill-threshold", type=int,
                    default=ed("SPILL_THRESHOLD", 2_000_000, int),
                    help="per-shard frontier rows before cold spill")
+    p.add_argument("--retry-limit", type=int,
+                   default=ed("RETRY_LIMIT", 0, int),
+                   help="bounded transient-error requeues per URL (0 = "
+                        "reference's actual drop behaviour)")
     p.add_argument("--filter-mode", choices=["none", "black", "white"],
                    default=ed("FILTER_MODE", "none"))
     p.add_argument("--filter-file", default=ed("FILTER_FILE", None),
@@ -645,6 +658,7 @@ def parse_cli(argv=None):
         fetch_concurrency=args.concurrency,
         chunk_affinity=args.chunk_affinity,
         spill_threshold=args.spill_threshold,
+        retry_limit=args.retry_limit,
     )
     return cfg, args.resume
 

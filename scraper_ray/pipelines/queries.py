@@ -2358,7 +2358,15 @@ def q_heavy_hitter_users(sf_dir: str, k: int = 10, capacity: int = 32):
     are exact value_counts; the driver merges the capped summaries in a
     content-sorted (deterministic) order. Returns (user_id, est_count,
     err) for the top k. Rows-only; the error/containment guarantees are
-    pinned against exact counts in tests."""
+    pinned against exact counts in tests.
+
+    Determinism caveat: the content-sorted merge canonicalizes merge ORDER
+    for a fixed set of partials, but the partial summaries themselves depend
+    on Ray block/batch boundaries — est_count/err values can shift between
+    runs with different read parallelism (unlike the HLL / histogram merges,
+    which are batching-invariant). When cross-configuration comparability
+    matters use :func:`q_heavy_hitter_users_exact` (capacity ≥ distinct keys
+    ⇒ no eviction anywhere ⇒ batching-invariant exact counts)."""
     from ..functions.sketches import SpaceSaving
 
     ds = _read(sf_dir, "events", ["user_id"])
@@ -2403,6 +2411,60 @@ def q_heavy_hitter_users(sf_dir: str, k: int = 10, capacity: int = 32):
         "est_count": pd.Series([r[1] for r in rows], dtype="int64"),
         "err": pd.Series([r[2] for r in rows], dtype="int64"),
     })
+
+
+def q_heavy_hitter_users_exact(sf_dir: str, k: int = 10,
+                               capacity: int = 4096):
+    """Exact-capacity Space-Saving: when ``capacity`` ≥ the number of
+    distinct keys, no eviction ever fires anywhere in the merge lineage, so
+    every ``est_count`` is the exact count and every ``err`` is 0 — the
+    sketch degrades gracefully into an exact distributed top-k, making this
+    entry SQL-hash-checkable (capacity 4096 ≥ the 1 500 distinct users at
+    sf0.1, the largest driver scale). Same partial/combine machinery as
+    :func:`q_heavy_hitter_users`; at 100 TB one would drop capacity below
+    the key cardinality and accept the documented n/capacity bound."""
+    return q_heavy_hitter_users(sf_dir, k=k, capacity=capacity)
+
+
+Q_HEAVY_HITTER_EXACT_SQL = """
+SELECT user_id, count(*) AS est_count, CAST(0 AS BIGINT) AS err
+FROM events GROUP BY user_id
+ORDER BY est_count DESC, user_id LIMIT 10
+"""
+
+
+def q_distinct_orders_exact(sf_dir: str, num_parts: int = 64):
+    """EXACT distinct-count of ``l_orderkey`` — the companion to the HLL
+    estimate for when the answer must be exact: per-batch ``np.unique``
+    dedups before anything moves (the exchange carries each batch's unique
+    keys once, never raw row traffic), keys hash-partition into ``num_parts``
+    coarse groups (multiplicative int hash — no per-key Python), each group
+    counts its uniques with one vectorized kernel, and the driver sums
+    ≤ ``num_parts`` scalars. One all-to-all of deduped 8-byte keys total;
+    at 100 TB the HLL variant (KB register blobs, zero exchange) is the
+    scale path and this is the audit path."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        pk = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(58)).astype(np.int32)
+        return pa.table({"k": pa.array(u), "_pkey": pa.array(pk)})
+
+    def nuniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(df["k"].nunique())]})
+
+    parts = (ds.map_batches(uniq, batch_format="pyarrow", batch_size=65536)
+             .groupby("_pkey")
+             .map_groups(nuniq, batch_format="pandas"))
+    total = int(sum(r["n"] for r in parts.take_all()))  # ≤ num_parts scalars
+    return pd.DataFrame({"n_distinct": pd.Series([total], dtype="int64")})
+
+
+Q_DISTINCT_ORDERS_EXACT_SQL = """
+SELECT count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+"""
 
 
 def q_token_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
@@ -2546,7 +2608,9 @@ QUERIES = {
     "multimodal_image_stats": q_multimodal_image_stats,
     "image_phash_dups": q_image_phash_dups,
     "distinct_orders_hll": q_distinct_orders_hll,
+    "distinct_orders_exact": q_distinct_orders_exact,
     "heavy_hitter_users": q_heavy_hitter_users,
+    "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2588,6 +2652,8 @@ ORACLE_SQL = {
     "embedding_dup_clusters": Q_EMB_DUP_CLUSTERS_SQL,
     "asof_last_click": Q_ASOF_SQL,
     "union_distinct": Q_UNION_SQL,
+    "heavy_hitter_users_exact": Q_HEAVY_HITTER_EXACT_SQL,
+    "distinct_orders_exact": Q_DISTINCT_ORDERS_EXACT_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }

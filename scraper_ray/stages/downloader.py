@@ -62,11 +62,41 @@ class Downloader:
     caption: list
     phash: list
 
-    def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+    def fetch_batch(self, urls: list, hosts: list,
+                    retries=None) -> PageBatch:
+        """Batched resolve. ``retries`` (optional int array aligned with
+        urls) is the per-row attempt number — downloaders with
+        attempt-dependent behaviour (SynthWeb's injected transient failures)
+        use it; real-network downloaders may ignore it."""
         raise NotImplementedError
 
-    def fetch_one(self, url: str):
+    def fetch_one(self, url: str, retries: int = 0):
         raise NotImplementedError
+
+    def fetch_batch_html(self, urls: list, hosts: list,
+                         retries=None) -> tuple[PageBatch, list]:
+        """Batched html-mode resolve -> (PageBatch, bodies list[str]).
+
+        Default composes per-row ``fetch_one`` — valid only for downloaders
+        whose payload handles survive across ``fetch_one`` calls (SynthWeb's
+        do: they index the broadcast images table). Downloaders with
+        batch-scoped payload buffers (HTTPDownloader) must override.
+        ``retries`` is advisory: a subclass whose ``fetch_one`` keeps the
+        plain one-arg signature simply never sees attempt numbers."""
+        import inspect
+
+        n = len(urls)
+        idx = np.full(n, -1, dtype=np.int64)
+        errs = [""] * n
+        bodies = [""] * n
+        aware = "retries" in inspect.signature(self.fetch_one).parameters
+        for i, u in enumerate(urls):
+            if aware:
+                r = int(retries[i]) if retries is not None else 0
+                errs[i], idx[i], bodies[i] = self.fetch_one(u, r)
+            else:
+                errs[i], idx[i], bodies[i] = self.fetch_one(u)
+        return PageBatch(idx, [[] for _ in range(n)], errs), bodies
 
 
 class SynthWebDownloader(Downloader):
@@ -89,17 +119,32 @@ class SynthWebDownloader(Downloader):
         self.caption = images["caption"].to_pylist()
         self.phash = images["phash"].to_pylist()
 
-    def _failed_mask(self, urls: list) -> np.ndarray:
+    @staticmethod
+    def _fail_salt(attempt: int) -> str:
+        """Attempt-salted failure seed: attempt 0 keeps the historical
+        ``fail::<url>`` form (bit-compatible with every pinned parity
+        fixture); retry attempt k>0 hashes ``fail::r<k>::<url>`` so an
+        injected transient failure is independent per attempt — without the
+        salt a failed URL would fail deterministically forever and a bounded
+        retry could never succeed."""
+        return "fail::" if attempt == 0 else f"fail::r{attempt}::"
+
+    def _failed_mask(self, urls: list, retries=None) -> np.ndarray:
         if not self.fail_mod:
             return np.zeros(len(urls), dtype=bool)
         from ..functions.hashing import hash64_batch
 
-        return (hash64_batch(["fail::" + u for u in urls])
-                % np.uint64(self.fail_mod)) == 0
+        if retries is None:
+            salted = ["fail::" + u for u in urls]
+        else:
+            salted = [self._fail_salt(int(r)) + u
+                      for u, r in zip(urls, retries)]
+        return (hash64_batch(salted) % np.uint64(self.fail_mod)) == 0
 
-    def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+    def fetch_batch(self, urls: list, hosts: list,
+                    retries=None) -> PageBatch:
         img_idx, links, disallowed = self.web.page_batch(urls, hosts)
-        failed = self._failed_mask(urls)
+        failed = self._failed_mask(urls, retries)
         err = np.where(disallowed, "RobotsDisallowed",
                        np.where(failed, "NetworkError", ""))
         ok = ~(disallowed | failed)
@@ -108,18 +153,48 @@ class SynthWebDownloader(Downloader):
                          [links[i] if ok[i] else [] for i in range(len(urls))],
                          err.tolist())
 
-    def fetch_one(self, url: str):
+    def fetch_one(self, url: str, retries: int = 0):
         from ..functions.hashing import hash64
 
         if self.web.is_disallowed(url):
             return "RobotsDisallowed", -1, ""
-        if self.fail_mod and hash64("fail::" + url) % self.fail_mod == 0:
-            # deterministic injected transient failure — the reference maps
-            # network errors to Reject, whose requeue flag is bugged to false
-            # (rmqredis.rs:230-251), i.e. the task is dropped; we reproduce
-            # the *actual* behaviour and record the error row.
+        if (self.fail_mod
+                and hash64(self._fail_salt(retries) + url)
+                % self.fail_mod == 0):
+            # deterministic injected transient failure — maps to the
+            # reference's Reject outcome (errors.rs:89-183); requeued when
+            # retry_limit > 0, recorded as an error row otherwise.
             return "NetworkError", -1, ""
         return "", self.web.image_index(url), self.web.html(url)
+
+    def fetch_batch_html(self, urls: list, hosts: list,
+                         retries=None) -> tuple[PageBatch, list]:
+        """Vectorized html-mode resolve: robots + injected-failure + payload
+        index are ONE batched-hash pass (identical decision order to
+        ``fetch_one``: robots wins over failure); only the per-page html
+        render stays a Python loop, and only for ok rows — the parse/extract
+        analogue the reference also pays per page."""
+        from ..functions.hashing import hash64_batch
+
+        n = len(urls)
+        img = (hash64_batch(["img::" + u for u in urls])
+               % np.uint64(self.web.cfg.n_images)).astype(np.int64)
+        host_dis = np.fromiter(
+            (self.web.host_disallows_private(h) for h in hosts),
+            dtype=bool, count=n)
+        priv = np.fromiter(
+            (u.startswith("/private/", u.find("/", 8)) if u.find("/", 8) > 0
+             else False for u in urls),
+            dtype=bool, count=n)
+        disallowed = host_dis & priv
+        failed = self._failed_mask(urls, retries)
+        err = np.where(disallowed, "RobotsDisallowed",
+                       np.where(failed, "NetworkError", ""))
+        ok = ~(disallowed | failed)
+        payload_idx = np.where(ok, img, -1).astype(np.int64)
+        bodies = [self.web.html(urls[i]) if ok[i] else "" for i in range(n)]
+        return (PageBatch(payload_idx, [[] for _ in range(n)], err.tolist()),
+                bodies)
 
 
 class HTTPDownloader(Downloader):
@@ -248,15 +323,21 @@ class HTTPDownloader(Downloader):
         self.phash.append(None)
         return len(self.blob) - 1
 
-    def fetch_one(self, url: str):
-        from urllib.parse import urlsplit
-
-        from ..functions.urlnorm import host_of
-
+    def fetch_one(self, url: str, retries: int = 0):
         # handles are valid until the next fetch_one/fetch_batch call — the
         # Fetcher consumes payload columns immediately; without this reset a
         # long-lived html-mode actor would accumulate every downloaded body
         self._reset_payloads()
+        return self._fetch_one_noreset(url)
+
+    def _fetch_one_noreset(self, url: str):
+        """fetch_one core without the payload-buffer reset — the batch html
+        path resets ONCE per batch so earlier rows' payload handles stay
+        valid for the whole batch."""
+        from urllib.parse import urlsplit
+
+        from ..functions.urlnorm import host_of
+
         host = host_of(url)
         parts = urlsplit(url)
         if self.obey_robots and self._robots_disallows(
@@ -276,7 +357,21 @@ class HTTPDownloader(Downloader):
             return "", -1, body.decode("utf-8", errors="replace")
         return "", self._store(url, ctype, body), ""
 
-    def fetch_batch(self, urls: list, hosts: list) -> PageBatch:
+    def fetch_batch_html(self, urls: list, hosts: list,
+                         retries=None) -> tuple[PageBatch, list]:
+        # network GETs are inherently sequential per connection here; the
+        # batch form exists so payload handles stay valid batch-wide
+        self._reset_payloads()
+        n = len(urls)
+        idx = np.full(n, -1, dtype=np.int64)
+        errs = [""] * n
+        bodies = [""] * n
+        for i, u in enumerate(urls):
+            errs[i], idx[i], bodies[i] = self._fetch_one_noreset(u)
+        return PageBatch(idx, [[] for _ in range(n)], errs), bodies
+
+    def fetch_batch(self, urls: list, hosts: list,
+                    retries=None) -> PageBatch:
         from urllib.parse import urlsplit
 
         self._reset_payloads()

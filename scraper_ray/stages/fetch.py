@@ -34,6 +34,14 @@ from ..functions.urlnorm import canonicalize_batch
 from .extract import extract_links
 from .filters import HostFilter
 
+def _retries_of(batch: pa.Table):
+    """Per-row attempt counts of a wave batch (None when the caller built a
+    plain frontier batch without the column — all attempt 0)."""
+    if "retries" in batch.column_names:
+        return batch["retries"].to_numpy(zero_copy_only=False)
+    return None
+
+
 FETCH_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -91,70 +99,26 @@ class Fetcher:
         self.dl = downloader
         # retained for crawl-config plumbing (SynthWeb-backed pools only)
         self.web = getattr(downloader, "web", None)
+        # the per-row attempt hint is advisory — downloaders keeping the
+        # plain (urls, hosts) seam signature never see it
+        import inspect
+
+        self._dl_retry_aware = (
+            "retries" in inspect.signature(downloader.fetch_batch).parameters)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
         depths = batch["depth"].to_pylist()
-        n = len(urls)
+        retries = _retries_of(batch)
         if not self.dl.html_mode:
-            return self._call_vectorized(urls, hosts, depths, t0)
-        cols: dict[str, list] = {k: [] for k in (
-            "error_kind", "image_id", "bytes", "w", "h", "fmt", "caption",
-            "phash", "body", "links",
-        )}
-        dl = self.dl
-        for i in range(n):
-            url = urls[i]
-            err, idx, body = dl.fetch_one(url)
-            # idx < 0 = page resolved ok but carries no payload (e.g. an
-            # HTML body with no stored resource) — never index the store
-            # with it: Python's negative indexing would silently attach
-            # ANOTHER page's payload
-            has_payload = not err and idx >= 0
-            if has_payload and self.verify_decode and not self._verify(idx):
-                err = "DecodeError"
-            if err:
-                cols["error_kind"].append(err)
-                for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
-                    cols[k].append(None)
-                cols["body"].append("")
-                cols["links"].append([])
-                continue
-            cols["error_kind"].append("")
-            cols["image_id"].append(dl.image_id[idx] if has_payload else None)
-            cols["bytes"].append(dl.blob[idx] if has_payload else None)
-            cols["w"].append(dl.w[idx] if has_payload else None)
-            cols["h"].append(dl.h[idx] if has_payload else None)
-            cols["fmt"].append(dl.fmt[idx] if has_payload else None)
-            cols["caption"].append(dl.caption[idx] if has_payload else None)
-            cols["phash"].append(dl.phash[idx] if has_payload else None)
-            # direct (non-html) mode returned via _call_vectorized above
-            cols["body"].append(body)
-            cols["links"].append([])
-        ms = (time.perf_counter() - t0) * 1000.0
-        per_row = ms / max(n, 1)
-        return pa.table(
-            {
-                "url": urls,
-                "host": hosts,
-                "depth": pa.array(depths, pa.int32()),
-                "round": pa.array([self.round_idx] * n, pa.int32()),
-                "error_kind": cols["error_kind"],
-                "image_id": cols["image_id"],
-                "bytes": pa.array(cols["bytes"], pa.binary()),
-                "w": pa.array(cols["w"], pa.int32()),
-                "h": pa.array(cols["h"], pa.int32()),
-                "fmt": cols["fmt"],
-                "caption": cols["caption"],
-                "phash": pa.array(cols["phash"], pa.int64()),
-                "body": cols["body"],
-                "links": pa.array(cols["links"], pa.list_(pa.string())),
-                "download_ms": pa.array([per_row] * n, pa.float64()),
-            },
-            schema=FETCH_SCHEMA,
-        )
+            return self._call_vectorized(urls, hosts, depths, t0, retries)
+        # html mode: ONE batched resolve (robots/failure/payload-index in a
+        # single hashing pass), then per-page work is only the html render +
+        # downstream parse — the inherently per-page part
+        pb, bodies = self.dl.fetch_batch_html(urls, hosts, retries)
+        return self._assemble(urls, hosts, depths, pb, bodies, t0)
 
     def _verify(self, idx: int) -> bool:
         """Per-row archive invariant during fetch (BASELINE.json input_hint):
@@ -176,13 +140,20 @@ class Fetcher:
             return codec.psnr(gt, px) >= 40.0
         return bool(np.array_equal(px, gt))
 
-    def _call_vectorized(self, urls, hosts, depths, t0):
+    def _call_vectorized(self, urls, hosts, depths, t0, retries=None):
         """Direct (non-HTML) mode: one batched downloader resolve —
         the scale path; bit-identical outputs to the scalar loop."""
+        tv0 = time.perf_counter()
+        pb = (self.dl.fetch_batch(urls, hosts, retries)
+              if self._dl_retry_aware else self.dl.fetch_batch(urls, hosts))
+        return self._assemble(urls, hosts, depths, pb, None, t0, tv0)
+
+    def _assemble(self, urls, hosts, depths, pb, bodies, t0, tv0=None):
+        """Row-aligned FETCH_SCHEMA table from a PageBatch (+ optional html
+        bodies). Shared by the direct and html paths; per-row conditionals
+        only in the cheap list builds."""
         n = len(urls)
         dl = self.dl
-        tv0 = time.perf_counter()
-        pb = dl.fetch_batch(urls, hosts)
         tv1 = time.perf_counter()
         err_kinds = np.asarray(pb.error_kind, dtype=object)
         ok = err_kinds == ""
@@ -207,7 +178,7 @@ class Fetcher:
             import sys
 
             print(f"[fetchtiming] r={self.round_idx} rows={n} "
-                  f"pagegen={tv1 - tv0:.3f} verify={tv2 - tv1:.3f}",
+                  f"pagegen={tv1 - (tv0 or t0):.3f} verify={tv2 - tv1:.3f}",
                   file=sys.stderr, flush=True)
         if bool(np.array_equal(has_payload, ok)):
             # fast path (the common case: every ok row has a payload) —
@@ -222,7 +193,8 @@ class Fetcher:
 
         cols = {
             "error_kind": err_kinds.tolist(),
-            "body": [""] * n,
+            "body": ([""] * n if bodies is None else
+                     [bodies[i] if ok[i] else "" for i in range(n)]),
             "image_id": col(dl.image_id),
             "bytes": col(dl.blob),
             "w": col(dl.w),
@@ -260,6 +232,7 @@ SUMMARY_SCHEMA = pa.schema(
     [
         ("pages", pa.int64()),
         ("errors", pa.int64()),
+        ("retried", pa.int64()),
         ("archive_ms", pa.float64()),
         ("extracted_links", pa.int64()),
         ("normalised_links", pa.int64()),
@@ -304,7 +277,7 @@ class LinkRouter:
         )
 
     def route_pages(self, urls, bodies, link_lists, errors, child_depth: int,
-                    dl_sum: float) -> pa.Table:
+                    dl_sum: float, retried: int = 0) -> pa.Table:
         import ray
 
         extracted = normalised = filtered = nerrors = 0
@@ -384,16 +357,19 @@ class LinkRouter:
         return self._summary_row(len(urls), nerrors, 0.0, extracted, normalised,
                                  filtered, culled, submitted, dl_sum,
                                  t_extract * 1000, t_norm * 1000,
-                                 t_filter * 1000, t_cull * 1000)
+                                 t_filter * 1000, t_cull * 1000,
+                                 retried=retried)
 
     @staticmethod
     def _summary_row(pages, nerrors, archive_ms, extracted, normalised,
                      filtered, culled, submitted, dl_sum, extract_ms,
-                     normalise_ms, filter_ms, culling_ms) -> pa.Table:
+                     normalise_ms, filter_ms, culling_ms,
+                     retried: int = 0) -> pa.Table:
         return pa.table(
             {
                 "pages": pa.array([pages], pa.int64()),
                 "errors": pa.array([nerrors], pa.int64()),
+                "retried": pa.array([retried], pa.int64()),
                 "archive_ms": pa.array([archive_ms], pa.float64()),
                 "extracted_links": pa.array([extracted], pa.int64()),
                 "normalised_links": pa.array([normalised], pa.int64()),
@@ -426,7 +402,8 @@ class WaveWorker(Fetcher):
                  fail_mod: int, shard_handles: list, filter_cfg: dict,
                  num_parts: int, archive_dir: str, errors_dir: str,
                  verify_decode: bool = False, seen_partition: str = "host",
-                 downloader=None, downloader_factory=None):
+                 downloader=None, downloader_factory=None,
+                 retry_limit: int = 0):
         super().__init__(images_ref, web_cfg, round_idx, fail_mod,
                          verify_decode, downloader=downloader,
                          downloader_factory=downloader_factory)
@@ -434,6 +411,67 @@ class WaveWorker(Fetcher):
                                  seen_partition=seen_partition)
         self.archive_dir = archive_dir
         self.errors_dir = errors_dir
+        # bounded transient-error requeue (the reference's *intended* Reject
+        # semantics, errors.rs:89-183 — its actual requeue flag is bugged to
+        # false, rmqredis.rs:230-251; retry_limit=0 reproduces that drop)
+        self.retry_limit = retry_limit
+
+    def _retry_idx(self, batch: pa.Table, err_kinds: np.ndarray) -> np.ndarray:
+        """Row indices to requeue: transient error kind AND attempt budget
+        left. ``err_kinds`` is the row-aligned object array of error kinds
+        ('' = ok)."""
+        if not self.retry_limit:
+            return np.empty(0, dtype=np.int64)
+        from ..functions.errors import TRANSIENT_KINDS
+
+        transient = np.isin(err_kinds, list(TRANSIENT_KINDS))
+        if not transient.any():
+            return np.empty(0, dtype=np.int64)
+        retries = _retries_of(batch)
+        if retries is None:
+            retries = np.zeros(len(err_kinds), dtype=np.int32)
+        return np.nonzero(transient & (retries < self.retry_limit))[0]
+
+    def _requeue(self, batch: pa.Table, retry_idx: np.ndarray) -> None:
+        """Route transiently-failed wave rows back to their host-partition
+        shard's frontier with retries+1 (StateShard.reinsert skips the seen
+        anti-join — the rows are frontier members by construction). Futures
+        join the router's non-blocking set so the driver's round barrier
+        guarantees the requeue lands before the next drain."""
+        import ray
+
+        from ..state.shard import FRONTIER_SCHEMA
+
+        sub = batch.take(pa.array(retry_idx))
+        urls = sub["url"].to_pylist()
+        hosts = sub["host"].to_pylist()
+        if "priority" in sub.column_names:
+            prios = sub["priority"].to_numpy(zero_copy_only=False)
+        else:  # plain frontier batch: priority is a pure url-hash function
+            prios = priority_of(hash64_batch(urls))
+        rets = _retries_of(sub)
+        rets = (np.zeros(len(urls), dtype=np.int32) if rets is None
+                else np.asarray(rets, dtype=np.int32)) + 1
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "priority": pa.array(np.asarray(prios, np.float32)),
+                "depth": sub["depth"].cast(pa.int32()),
+                "retries": pa.array(rets),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+        parts = part_of(hash64_batch(hosts), self.router.num_parts)
+        futs = []
+        for p in np.unique(parts):
+            idx = np.nonzero(parts == p)[0]
+            futs.append(
+                self.router.shards[int(p)].reinsert.remote(t.take(idx)))
+        if self.router.blocking:
+            ray.get(futs)
+        else:
+            self.router.pending_futs.extend(futs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -444,6 +482,8 @@ class WaveWorker(Fetcher):
         t_f0 = time.perf_counter()
         fetched = super().__call__(batch)
         t0 = time.perf_counter()
+        err_kinds = np.asarray(fetched["error_kind"].to_pylist(), dtype=object)
+        retry_idx = self._retry_idx(batch, err_kinds)
         ok_mask = pc.equal(fetched["error_kind"], "")
         ok_rows = fetched.filter(ok_mask).select(ARCHIVE_COLUMNS)
         t1 = time.perf_counter()
@@ -451,7 +491,11 @@ class WaveWorker(Fetcher):
         if ok_rows.num_rows:
             append_fragment(ok_rows, rdir)
         t2 = time.perf_counter()
-        err_rows = fetched.filter(pc.invert(ok_mask)).select(
+        # terminal errors only: rows being requeued are neither archived nor
+        # error rows — they re-enter the frontier via _requeue below
+        term = np.asarray(err_kinds != "")
+        term[retry_idx] = False
+        err_rows = fetched.filter(pa.array(term)).select(
             ["url", "host", "round", "depth", "error_kind"]
         )
         if err_rows.num_rows:
@@ -469,7 +513,25 @@ class WaveWorker(Fetcher):
                 f"write={t2 - t1:.3f}",
                 file=sys.stderr, flush=True,
             )
-        summary = self.router(fetched)
+        if len(retry_idx):
+            self._requeue(batch, retry_idx)
+            # blank the requeued rows for the router: page attempt counted,
+            # no links followed, NOT a terminal error
+            errors = err_kinds.tolist()
+            bodies = fetched["body"].to_pylist()
+            links = fetched["links"].to_pylist()
+            for i in retry_idx:
+                errors[i] = ""
+                bodies[i] = ""
+                links[i] = []
+            summary = self.router.route_pages(
+                fetched["url"].to_pylist(), bodies, links, errors,
+                self.round_idx + 1,
+                float(pc.sum(fetched["download_ms"]).as_py() or 0.0),
+                retried=len(retry_idx),
+            )
+        else:
+            summary = self.router(fetched)
         return summary.set_column(
             summary.schema.get_field_index("archive_ms"), "archive_ms",
             pa.array([archive_ms], pa.float64()),
@@ -539,7 +601,8 @@ class WaveWorkerPool(WaveWorker):
         depths = batch["depth"].to_pylist()
         n = len(urls)
         dl = self.dl
-        pb = dl.fetch_batch(urls, hosts)
+        pb = (dl.fetch_batch(urls, hosts, _retries_of(batch))
+              if self._dl_retry_aware else dl.fetch_batch(urls, hosts))
         err_kinds = np.asarray(pb.error_kind, dtype=object)
         ok = err_kinds == ""
         img_idx = pb.payload_idx
@@ -599,7 +662,10 @@ class WaveWorkerPool(WaveWorker):
                 print(f"[archtiming] r={self.round_idx} rows={len(ok_idx)} "
                       f"build={t_build:.3f} write={t_write:.3f}",
                       file=sys.stderr, flush=True)
-        bad_idx = np.nonzero(~ok)[0]
+        retry_idx = self._retry_idx(batch, np.where(ok, "", err_kinds))
+        retry_mask = np.zeros(n, dtype=bool)
+        retry_mask[retry_idx] = True
+        bad_idx = np.nonzero(~ok & ~retry_mask)[0]
         if len(bad_idx):
             kinds = [err_kinds[i] for i in bad_idx]
             append_fragment(
@@ -612,12 +678,16 @@ class WaveWorkerPool(WaveWorker):
                 }),
                 os.path.join(self.errors_dir, f"round={self.round_idx:04d}"),
             )
+        if len(retry_idx):
+            self._requeue(batch, retry_idx)
         archive_ms = (time.perf_counter() - t0) * 1000.0
 
-        err_marks = ["" if ok[i] else "x" for i in range(n)]
+        # retried rows: page attempt counted, no links, NOT a terminal error
+        err_marks = ["" if (ok[i] or retry_mask[i]) else "x" for i in range(n)]
         summary = self.router.route_pages(
             urls, [""] * n, [pb.links[i] if ok[i] else [] for i in range(n)],
             err_marks, self.round_idx + 1, dl_ms,
+            retried=len(retry_idx),
         )
         return summary.set_column(
             summary.schema.get_field_index("archive_ms"), "archive_ms",

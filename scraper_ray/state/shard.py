@@ -39,6 +39,10 @@ FRONTIER_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("priority", pa.float32()),
         ("depth", pa.int32()),
+        # bounded transient-retry counter (the reference's *intended* Reject
+        # semantics, errors.rs:89-183: network/server errors requeue). 0 for
+        # fresh links; incremented by reinsert() on each requeue.
+        ("retries", pa.int32()),
     ]
 )
 
@@ -58,7 +62,8 @@ class StateShard:
         self.part = part
         self.num_parts = num_parts
         self.seen = SeenSet(seen_mode, seen_capacity)
-        # host -> heap of (-priority, url, depth)
+        # host -> heap of (-priority, url, depth, retries); url is unique
+        # within a heap, so depth/retries never participate in ordering
         self.pending: dict[str, list] = {}
         self.pending_count = 0
         self.tokens: dict[str, float] = {}
@@ -79,6 +84,7 @@ class StateShard:
         self.spilled_rows_total = 0
         self.inserted_total = 0
         self.drained_total = 0
+        self.retried_total = 0
         self._fwd_buf: dict[int, list] = {}  # url-mode per-peer forward buffer
 
     # -- ingest -------------------------------------------------------------
@@ -106,7 +112,7 @@ class StateShard:
             host = hosts[i]
             heapq.heappush(
                 self.pending.setdefault(host, []),
-                (-float(priorities[i]), urls[i], int(depths[i])),
+                (-float(priorities[i]), urls[i], int(depths[i]), 0),
             )
             self.pending_count += 1
             submitted += 1
@@ -129,12 +135,38 @@ class StateShard:
         depths = t["depth"].to_pylist()
         for u, h, p, d in zip(urls, hosts, prios, depths):
             heapq.heappush(self.pending.setdefault(h, []),
-                           (-float(p), u, int(d)))
+                           (-float(p), u, int(d), 0))
         self.pending_count += len(urls)
         self.inserted_total += len(urls)
         if self.pending_count > self.spill_threshold and self.spill_dir:
             self._spill()
         return {"submitted": len(urls)}
+
+    def reinsert(self, t: pa.Table) -> dict:
+        """Requeue transiently-failed wave rows (columns url, host, priority,
+        depth, retries — retries ALREADY incremented by the caller) into the
+        frontier WITHOUT a seen-set check: the rows were drained from this
+        frontier, so they are already members and the anti-join would drop
+        them. This is the reference's *intended* Reject outcome
+        (`errors.rs:89-183` maps network/server errors to Reject = requeue;
+        its requeue flag is bugged to false, `rmqredis.rs:230-251` — the
+        engine's ``retry_limit=0`` default reproduces that actual behaviour,
+        ``retry_limit>0`` enables the intent with a bound)."""
+        urls = t["url"].to_pylist()
+        hosts = t["host"].to_pylist()
+        prios = t["priority"].to_pylist()
+        depths = t["depth"].to_pylist()
+        rets = t["retries"].to_pylist()
+        for u, h, p, d, k in zip(urls, hosts, prios, depths, rets):
+            heapq.heappush(self.pending.setdefault(h, []),
+                           (-float(p), u, int(d), int(k)))
+        self.pending_count += len(urls)
+        self.retried_total += len(urls)
+        if self.pending_count > self.spill_threshold and self.spill_dir:
+            self._spill()
+        # shaped like the anti-join results so the driver's barrier loop can
+        # resolve all shard futures uniformly (adds 0 to the funnel)
+        return {"culled": 0, "submitted": 0, "retried": len(urls)}
 
     def check_and_route(self, t: pa.Table) -> dict:
         """Skew-aware two-level path: this shard owns the ``url_hash % P``
@@ -248,7 +280,7 @@ class StateShard:
                     need.add(host)
             if need:
                 self._unspill(need)
-        rows: list[tuple[float, str, str, int]] = []
+        rows: list[tuple[float, str, str, int, int]] = []
         budget_left = max_rows if max_rows is not None else 1 << 62
         if refill:
             # refill EVERY pending host's bucket up front — refilling inside
@@ -265,8 +297,8 @@ class StateShard:
             avail = int(self.tokens.get(host, 0.0))
             take = min(avail, len(heap), budget_left)
             for _ in range(take):
-                negp, url, depth = heapq.heappop(heap)
-                rows.append((-negp, host, url, depth))
+                negp, url, depth, ret = heapq.heappop(heap)
+                rows.append((-negp, host, url, depth, ret))
             if take:
                 self.tokens[host] = self.tokens.get(host, 0.0) - take
                 self.pending_count -= take
@@ -281,6 +313,7 @@ class StateShard:
                 "host": [r[1] for r in rows],
                 "priority": pa.array([r[0] for r in rows], pa.float32()),
                 "depth": pa.array([r[3] for r in rows], pa.int32()),
+                "retries": pa.array([r[4] for r in rows], pa.int32()),
             },
             schema=FRONTIER_SCHEMA,
         )
@@ -327,23 +360,26 @@ class StateShard:
             "seen_bytes": self.seen.nbytes(),
             "inserted_total": self.inserted_total,
             "drained_total": self.drained_total,
+            "retried_total": self.retried_total,
         }
 
     # -- spill --------------------------------------------------------------
     def _frontier_table(self) -> pa.Table:
-        urls, hosts, prios, depths = [], [], [], []
+        urls, hosts, prios, depths, rets = [], [], [], [], []
         for host, heap in sorted(self.pending.items()):
-            for negp, url, depth in sorted(heap):
+            for negp, url, depth, ret in sorted(heap):
                 urls.append(url)
                 hosts.append(host)
                 prios.append(-negp)
                 depths.append(depth)
+                rets.append(ret)
         return pa.table(
             {
                 "url": urls,
                 "host": hosts,
                 "priority": pa.array(prios, pa.float32()),
                 "depth": pa.array(depths, pa.int32()),
+                "retries": pa.array(rets, pa.int32()),
             },
             schema=FRONTIER_SCHEMA,
         )
@@ -351,7 +387,7 @@ class StateShard:
     def _spill(self) -> None:
         """Spill the lower-priority half of every host's heap to Parquet."""
         os.makedirs(self.spill_dir, exist_ok=True)
-        urls, hosts, prios, depths = [], [], [], []
+        urls, hosts, prios, depths, rets = [], [], [], [], []
         for host in list(self.pending.keys()):
             heap = self.pending[host]
             if len(heap) < 2:
@@ -365,11 +401,12 @@ class StateShard:
             # this host's spill can stay cold
             self._spill_fence[host] = max(self._spill_fence.get(host, -np.inf),
                                           -cold[0][0])
-            for negp, url, depth in cold:
+            for negp, url, depth, ret in cold:
                 urls.append(url)
                 hosts.append(host)
                 prios.append(-negp)
                 depths.append(depth)
+                rets.append(ret)
         if not urls:
             return
         t = pa.table(
@@ -378,6 +415,7 @@ class StateShard:
                 "host": hosts,
                 "priority": pa.array(prios, pa.float32()),
                 "depth": pa.array(depths, pa.int32()),
+                "retries": pa.array(rets, pa.int32()),
             },
             schema=FRONTIER_SCHEMA,
         )
@@ -411,14 +449,15 @@ class StateShard:
                 if keep.num_rows:
                     keep_t.append(keep)
                 t = t.filter(pa.array(mask))
-            for url, host, prio, depth in zip(
+            for url, host, prio, depth, ret in zip(
                 t["url"].to_pylist(),
                 t["host"].to_pylist(),
                 t["priority"].to_pylist(),
                 t["depth"].to_pylist(),
+                t["retries"].to_pylist(),
             ):
                 heapq.heappush(
-                    self.pending.setdefault(host, []), (-prio, url, depth)
+                    self.pending.setdefault(host, []), (-prio, url, depth, ret)
                 )
                 self.pending_count += 1
                 self._spilled_rows -= 1
@@ -500,11 +539,14 @@ class StateShard:
         self._spilled_rows = 0
         self._spill_fence = {}
         t = pq.read_table(os.path.join(d, "frontier.parquet"))
-        for url, host, prio, depth in zip(
+        rets = (t["retries"].to_pylist() if "retries" in t.column_names
+                else [0] * t.num_rows)  # pre-retry checkpoints
+        for url, host, prio, depth, ret in zip(
             t["url"].to_pylist(), t["host"].to_pylist(),
-            t["priority"].to_pylist(), t["depth"].to_pylist(),
+            t["priority"].to_pylist(), t["depth"].to_pylist(), rets,
         ):
-            heapq.heappush(self.pending.setdefault(host, []), (-prio, url, depth))
+            heapq.heappush(self.pending.setdefault(host, []),
+                           (-prio, url, depth, ret))
             self.pending_count += 1
         if meta["seen_mode"] == "exact":
             urls = pq.read_table(os.path.join(d, "seen.parquet"))["url"].to_pylist()
