@@ -36,14 +36,84 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# worker-local broadcast cache: ray.get of a plasma object is cheap but not
+# free, and the per-call array handling would otherwise repeat once per
+# partition kernel invocation (num_parts times per run) — resolve each
+# broadcast ref ONCE per worker process instead
+_BCAST_CACHE: dict = {}
+
+
+def _bcast(ref):
+    import ray
+
+    key = ref.hex()
+    arr = _BCAST_CACHE.get(key)
+    if arr is None:
+        arr = _BCAST_CACHE[key] = ray.get(ref)
+    return arr
+
+
+# sketch geometry for the profile riding the dedup exchange (see
+# functions/sketches.py for the merge-invariance rationale)
+_HLL_P = 12
+_HIST_NBINS = 256
+
+
+def _token_hist(ntok: np.ndarray) -> np.ndarray:
+    """Log-spaced (2^(1/8)-width) token-count histogram partial — same bin
+    geometry as queries.q_token_quantiles (≤9% relative error at the
+    reported bin upper edge)."""
+    ntok = np.maximum(ntok.astype(np.float64), 1.0)
+    bins = np.minimum((np.log2(ntok) * 8).astype(np.int64), _HIST_NBINS - 1)
+    return np.bincount(bins, minlength=_HIST_NBINS).astype(np.int64)
+
+
+def _hist_quantile(hist: np.ndarray, q: float) -> int:
+    """Bin upper edge holding the q-quantile (0 when the corpus is empty)."""
+    total = int(hist.sum())
+    if total == 0:
+        return 0
+    cum = np.cumsum(hist)
+    bin_idx = int(np.searchsorted(cum, int(np.ceil(q * total))))
+    return int(np.ceil(2 ** ((bin_idx + 1) / 8)))
+
+
+def _merge_stat_blobs(hll_blobs, hist_blobs) -> tuple[bytes, bytes]:
+    """Merge per-partition sketch blobs: HLL register max, histogram bin
+    sum — both order/parallelism independent."""
+    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    hist = np.zeros(_HIST_NBINS, dtype=np.int64)
+    for b in hll_blobs:
+        if b:
+            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+    for b in hist_blobs:
+        if b:
+            hist += np.frombuffer(b, dtype=np.int64)
+    return regs.tobytes(), hist.tobytes()
+
 
 def clean_corpus(sf_dir: str, out_dir: str | None = None,
-                 min_quality: float = 0.3, num_parts: int = 16) -> dict:
+                 min_quality: float = 0.3, num_parts: int = 16,
+                 images_table: pa.Table | None = None) -> dict:
     """Run the cleaning pipeline; returns the funnel stats dict (and writes
-    partitioned parquet + ``stats.json`` when ``out_dir`` is given)."""
+    partitioned parquet + ``stats.json`` when ``out_dir`` is given).
+
+    ``images_table`` (optional): a multimodal image corpus (IMAGES_SCHEMA)
+    cleaned alongside the text — decoded-pixel phash near-dups are dropped
+    keep-first through the SAME banded-LSH operator as the standalone
+    ``image_phash_dups`` query (``queries.image_phash_pairs``), and kept
+    images are written hash-partitioned under ``out_dir/images/``. Funnel
+    stats gain ``n_images / n_image_dup_dropped / n_images_kept``.
+
+    The text exchange also carries mergeable sketches as extra stats-row
+    columns (HLL of ``source`` + log-histogram of ``n_tokens_bpe``, both
+    batching-invariant merges), so the output-corpus profile
+    (``n_distinct_sources_est``, ``token_bpe_p50/p90``) costs zero extra
+    passes."""
     import ray
 
     from ..functions.hashing import hash64_batch
+    from ..functions.sketches import HyperLogLog
     from ..functions.textstats import (
         count_tokens_bpe, detect_lang, fingerprint_batch, quality_features,
         quality_score,
@@ -51,7 +121,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     from .queries import _read, q_minhash_near_dup
 
     cfg = {"sf_dir": sf_dir, "min_quality": min_quality,
-           "num_parts": num_parts}
+           "num_parts": num_parts,
+           "with_images": images_table is not None}
     if out_dir:
         # resume guard (mirrors crawl.py's manifest config check): finished
         # partitions are skipped on rerun, so the config that produced them
@@ -119,8 +190,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     # implementation; a drifted copy here would silently diverge from the
     # tested pair semantics). The drop set is pair-sized → broadcast.
     pairs = q_minhash_near_dup(sf_dir)
-    drop_ids = (sorted(set(pairs["id_b"].astype(int)))
-                if len(pairs) else [])
+    drop_ids = (np.unique(pairs["id_b"].to_numpy(dtype=np.int64))
+                if len(pairs) else np.empty(0, dtype=np.int64))
     drop_ref = ray.put(drop_ids)
 
     # exact dedup + near-dup drop + quality filter: hash-partition on
@@ -140,12 +211,23 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         keep = g["doc_id"] == g.groupby(["h1", "h2"])["doc_id"].transform("min")
         g = g.loc[keep].drop(columns=["_pkey"])
         n_exact = len(g)
-        near_hit = g["doc_id"].isin(ray.get(drop_ref))
+        near_hit = np.isin(g["doc_id"].to_numpy(dtype=np.int64),
+                           _bcast(drop_ref), assume_unique=False)
         n_near = int(near_hit.sum())
         g = g.loc[~near_hit]
         out = g.loc[g["quality"] >= min_quality].copy()
+        # output-corpus profile sketches ride the stats row: an HLL of the
+        # kept rows' sources and a log-histogram of their BPE token counts.
+        # Both merges (register max / bin sum) are batching-invariant, so
+        # the profile is identical at any parallelism — and costs zero
+        # extra passes over the corpus.
+        hll = HyperLogLog(p=_HLL_P).add_hashes(
+            hash64_batch(out["source"].tolist()))
+        hist = _token_hist(out["n_tokens_bpe"].to_numpy(dtype=np.int64))
         out["_stat_exact"] = np.int64(-1)  # -1 marks a data row
         out["_stat_near"] = np.int64(-1)
+        out["_stat_hll"] = b""
+        out["_stat_hist"] = b""
         stats_row = pd.DataFrame({
             "doc_id": pd.Series([-1], dtype="int64"),
             "text": [""], "source": [""],
@@ -157,6 +239,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
             "h2": pd.Series([0], dtype="int64"),
             "_stat_exact": pd.Series([n_exact], dtype="int64"),
             "_stat_near": pd.Series([n_near], dtype="int64"),
+            "_stat_hll": [hll.to_bytes()],
+            "_stat_hist": [hist.tobytes()],
         })
         return pd.concat([out, stats_row], ignore_index=True)
 
@@ -181,6 +265,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         def write_part(g: pd.DataFrame) -> pd.DataFrame:
             part = int(g["_wkey"].iloc[0])
             if part == num_parts:  # the stats sink group
+                hll_b, hist_b = _merge_stat_blobs(g["_stat_hll"].tolist(),
+                                                  g["_stat_hist"].tolist())
                 return pd.DataFrame({
                     "part": pd.Series([-1], dtype="int64"),
                     "rows": pd.Series([0], dtype="int64"),
@@ -188,8 +274,10 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                                          dtype="int64"),
                     "n_near": pd.Series([int(g["_stat_near"].sum())],
                                         dtype="int64"),
+                    "hll": [hll_b], "hist": [hist_b],
                 })
-            out = g.drop(columns=["_wkey", "_stat_exact", "_stat_near"])
+            out = g.drop(columns=["_wkey", "_stat_exact", "_stat_near",
+                                  "_stat_hll", "_stat_hist"])
             path = os.path.join(out_dir, f"part={part:04d}")
             os.makedirs(path, exist_ok=True)
             final = os.path.join(path, "data.parquet")
@@ -206,6 +294,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                 "rows": pd.Series([len(out)], dtype="int64"),
                 "n_exact": pd.Series([0], dtype="int64"),
                 "n_near": pd.Series([0], dtype="int64"),
+                "hll": [b""], "hist": [b""],
             })
 
         written = (cleaned.map_batches(tag_out, batch_format="pandas")
@@ -215,23 +304,31 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         n_kept = int(written["rows"].sum())
         n_after_exact = int(written["n_exact"].sum())
         n_near_dropped = int(written["n_near"].sum())
+        hll_blob, hist_blob = _merge_stat_blobs(written["hll"].tolist(),
+                                                written["hist"].tolist())
     else:
         # stats-only consumption: per-batch partial counts → tiny merge
         def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
             stat = df["_stat_exact"] >= 0
+            hll_b, hist_b = _merge_stat_blobs(
+                df.loc[stat, "_stat_hll"].tolist(),
+                df.loc[stat, "_stat_hist"].tolist())
             return pd.DataFrame({
                 "n_exact": pd.Series([int(df.loc[stat, "_stat_exact"].sum())],
                                      dtype="int64"),
                 "n_near": pd.Series([int(df.loc[stat, "_stat_near"].sum())],
                                     dtype="int64"),
                 "n_kept": pd.Series([int((~stat).sum())], dtype="int64"),
+                "hll": [hll_b], "hist": [hist_b],
             })
 
-        sums = (cleaned.map_batches(partial_counts, batch_format="pandas")
-                .to_pandas().sum())
-        n_kept = int(sums["n_kept"])
-        n_after_exact = int(sums["n_exact"])
-        n_near_dropped = int(sums["n_near"])
+        partials = (cleaned.map_batches(partial_counts, batch_format="pandas")
+                    .to_pandas())
+        n_kept = int(partials["n_kept"].sum())
+        n_after_exact = int(partials["n_exact"].sum())
+        n_near_dropped = int(partials["n_near"].sum())
+        hll_blob, hist_blob = _merge_stat_blobs(partials["hll"].tolist(),
+                                                partials["hist"].tolist())
 
     stats = {
         "n_input": int(n_input),
@@ -240,11 +337,85 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         "n_kept": int(n_kept),
         "min_quality": min_quality,
         "num_parts": num_parts,
+        # output-corpus profile from the sketches that rode the exchange
+        "n_distinct_sources_est": int(round(
+            HyperLogLog.from_bytes(hll_blob, _HLL_P).estimate())),
+        "token_bpe_p50": _hist_quantile(
+            np.frombuffer(hist_blob, dtype=np.int64), 0.5),
+        "token_bpe_p90": _hist_quantile(
+            np.frombuffer(hist_blob, dtype=np.int64), 0.9),
     }
+    if images_table is not None:
+        stats.update(_clean_images(images_table, out_dir, num_parts))
     if out_dir:
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
     return stats
+
+
+def _clean_images(images: pa.Table, out_dir: str | None,
+                  num_parts: int) -> dict:
+    """Optional multimodal stage: decoded-pixel phash near-dup removal over
+    an image corpus, keep-first (``queries.image_phash_pairs`` — the SAME
+    operator as the standalone query, so its brute-force-oracle guarantees
+    carry over). The pair list is aggregate-sized → the drop set broadcasts;
+    kept images stream to hash-partitioned parquet under
+    ``out_dir/images/part=NNNN`` with the text path's atomic-skip resume
+    semantics. Returns the image funnel counts."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hash64_batch
+    from .queries import image_phash_pairs
+
+    pairs = image_phash_pairs(images)
+    drop = (np.unique(pairs["image_id_b"].to_numpy(dtype=object))
+            if len(pairs) else np.empty(0, dtype=object))
+    n_images = images.num_rows
+    drop_ref = ray.put(set(drop.tolist()))
+
+    if out_dir is None:
+        # image_ids are unique within the table, so the kept count is exact
+        # without another pass
+        return {"n_images": int(n_images),
+                "n_image_dup_dropped": int(len(drop)),
+                "n_images_kept": int(n_images - len(drop))}
+
+    img_base = os.path.join(out_dir, "images")
+    os.makedirs(img_base, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        dropset = _bcast(drop_ref)
+        keep = np.fromiter((i not in dropset for i in ids), dtype=bool,
+                           count=len(ids))
+        t = t.filter(pa.array(keep))
+        wk = (hash64_batch(t["image_id"].to_pylist())
+              % np.uint64(num_parts)).astype(np.int32)
+        return t.append_column("_wkey", pa.array(wk))
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_wkey"].iloc[0])
+        out = g.drop(columns=["_wkey"])
+        path = os.path.join(img_base, f"part={part:04d}")
+        os.makedirs(path, exist_ok=True)
+        final = os.path.join(path, "data.parquet")
+        if not os.path.exists(final):
+            tmp = final + ".tmp"
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           tmp)
+            os.replace(tmp, final)
+        return pd.DataFrame({"rows": pd.Series([len(out)], dtype="int64")})
+
+    written = (rd.from_arrow(images)
+               .map_batches(tag, batch_format="pyarrow", batch_size=64)
+               .groupby("_wkey")
+               .map_groups(write_part, batch_format="pandas")
+               .to_pandas())
+    n_img_kept = int(written["rows"].sum())
+    return {"n_images": int(n_images),
+            "n_image_dup_dropped": int(len(drop)),
+            "n_images_kept": n_img_kept}
 
 
 def q_corpus_clean_stats(sf_dir: str) -> pd.DataFrame:
@@ -265,6 +436,9 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--min-quality", type=float, default=0.3)
     p.add_argument("--parts", type=int, default=16)
+    p.add_argument("--images-reencodes", type=int, default=0,
+                   help="also clean a deterministic N-base-image corpus "
+                        "with planted re-encoded near-dups (0 = text only)")
     args = p.parse_args(argv)
 
     import ray
@@ -273,7 +447,13 @@ def main(argv=None) -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
-    stats = clean_corpus(args.sf_dir, args.out, args.min_quality, args.parts)
+    images = None
+    if args.images_reencodes:
+        from ..sources.fixtures import build_images_with_reencodes
+
+        images = build_images_with_reencodes(args.images_reencodes)
+    stats = clean_corpus(args.sf_dir, args.out, args.min_quality, args.parts,
+                         images_table=images)
     print(json.dumps(stats))
     ray.shutdown()
 

@@ -201,7 +201,14 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
     images_ref = ray.put(images_table)
     filt = HostFilter(cfg.filter_mode, cfg.filter_entries)
 
-    ShardActor = ray.remote(num_cpus=0.05)(StateShard)
+    # multi-node placement: SPREAD the state shards and pool workers across
+    # nodes so a fixed-size cluster doesn't land every shard (and its spill
+    # I/O + frontier heap) on one host — on a single-node cluster the option
+    # is omitted entirely so sandbox behaviour (and the parity suites) are
+    # bit-identical with or without it
+    n_alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+    spread = {"scheduling_strategy": "SPREAD"} if n_alive > 1 else {}
+    ShardActor = ray.remote(num_cpus=0.05, **spread)(StateShard)
     shards = [
         ShardActor.remote(
             p, cfg.num_parts, cfg.seen_mode, cfg.seen_capacity,
@@ -215,7 +222,7 @@ def run_crawl(cfg: CrawlConfig, images_table: pa.Table | None = None,
 
     # persistent fetch/route worker pool, created ONCE for all waves (see
     # stages/fetch.py WaveWorkerPool for the rationale and measurements)
-    PoolActor = ray.remote(num_cpus=1)(WaveWorkerPool)
+    PoolActor = ray.remote(num_cpus=1, **spread)(WaveWorkerPool)
     workers = [
         PoolActor.remote(
             images_ref=images_ref,

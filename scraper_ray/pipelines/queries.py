@@ -2059,6 +2059,46 @@ def q_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=1024).to_pandas()
 
 
+def _emb_train_sample(sf_dir: str, train_rows: int, nq: int):
+    """Bounded UNBIASED training sample of the embeddings table: a
+    content-keyed stride (multiplicative hash of ``vec_id``, keep-if-zero
+    mod ``total // train_rows``) evaluated inside ONE distributed
+    ``map_batches`` pass — each worker filters its own blocks and the
+    driver receives only the ~``train_rows`` sampled rows, never the table.
+    Unlike the former head-of-file read the sample is invariant to file
+    ordering (a 100 TB corpus's head is whatever shard landed first — an
+    ordering-biased codebook); content-keying also makes it invariant to
+    block/batch boundaries. The ``nq`` query rows (``vec_id < nq``) are
+    force-included so the query workload is unchanged and well-defined.
+
+    Returns (ids, unit-normalized matrix) sorted by vec_id, capped at
+    ``train_rows + nq`` rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb_file = f"{sf_dir}/embeddings.parquet"
+    total = pq.ParquetFile(emb_file).metadata.num_rows
+    mod = np.uint64(max(1, total // train_rows))
+
+    def pick(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        h = ((vids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(17))
+        keep = (h % mod) == 0
+        if nq:
+            keep |= vids < nq
+        return t.filter(pa.array(keep))
+
+    df = (rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
+          .map_batches(pick, batch_format="pyarrow", batch_size=4096)
+          .to_pandas())
+    df = df.sort_values("vec_id").head(train_rows + nq).reset_index(drop=True)
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    m = np.array(df["embedding"].to_list(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
 def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
               nlist: int = 16, nprobe: int = 4):
     """IVF-style ANN (the scale path next to the brute-force baseline):
@@ -2067,29 +2107,16 @@ def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
     nearest lists. Returns (query_id, neighbor_id); recall vs brute force is
     pinned in tests, not exactness — pruning is the point.
 
-    Driver reads are BOUNDED: centroid training and the query matrix come
-    from the first ``train_rows`` rows streamed out of the parquet file —
-    never the full table (at corpus scale the table doesn't fit a driver).
+    Driver reads are BOUNDED and unbiased: centroid training uses the
+    content-keyed distributed stride sample of :func:`_emb_train_sample`
+    (~``train_rows`` rows from across the WHOLE table) — never the full
+    table and never an ordering-biased file head.
     """
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    train_rows = 8192
     emb_file = f"{sf_dir}/embeddings.parquet"
-    pf = pq.ParquetFile(emb_file)
-    head_batches = []
-    got_rows = 0
-    for rb in pf.iter_batches(batch_size=4096,
-                              columns=["vec_id", "embedding"]):
-        head_batches.append(rb)
-        got_rows += rb.num_rows
-        if got_rows >= train_rows:
-            break
-    head = pa.Table.from_batches(head_batches).slice(0, train_rows)
-    ids_all = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
-    m_all = np.array(head["embedding"].to_pylist(), dtype=np.float64)
-    m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+    ids_all, m_all = _emb_train_sample(sf_dir, 8192, nq)
 
     # deterministic k-means (seeded init, 3 iterations) on the bounded head
     rng = np.random.Generator(np.random.PCG64(42))
@@ -2158,27 +2185,16 @@ def q_ann_pq(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
     (one (n_sub × n_cent) table per query, scanned with numpy gathers) and
     only the per-batch top-``rerank`` candidates are reranked with exact
     cosine. Codebooks are deterministic k-means (seeded, 3 iterations) on
-    the same bounded streamed head as IVF — never a full-table driver
-    read. Returns (query_id, neighbor_id); recall vs brute force is
-    pinned in tests (pruning + quantization are the point)."""
-    import pyarrow.parquet as pq
+    the same bounded content-keyed stride sample as IVF
+    (:func:`_emb_train_sample`) — never a full-table driver read and
+    never an ordering-biased file head. Returns (query_id, neighbor_id);
+    recall vs brute force is pinned in tests (pruning + quantization are
+    the point)."""
     import ray
     import ray.data as rd
 
-    train_rows = 8192
     emb_file = f"{sf_dir}/embeddings.parquet"
-    pf = pq.ParquetFile(emb_file)
-    head_batches, got_rows = [], 0
-    for rb in pf.iter_batches(batch_size=4096,
-                              columns=["vec_id", "embedding"]):
-        head_batches.append(rb)
-        got_rows += rb.num_rows
-        if got_rows >= train_rows:
-            break
-    head = pa.Table.from_batches(head_batches).slice(0, train_rows)
-    ids_all = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
-    m_all = np.array(head["embedding"].to_pylist(), dtype=np.float64)
-    m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+    ids_all, m_all = _emb_train_sample(sf_dir, 8192, nq)
     d = m_all.shape[1]
     assert d % n_sub == 0, (d, n_sub)
     sub_d = d // n_sub
@@ -2516,29 +2532,24 @@ def q_token_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     })
 
 
-def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
-    """Image near-duplicate pairs by perceptual-hash hamming over DECODED
-    pixels — the multimodal payload driven through the same banded-LSH
-    machinery as the text dedup families. The deterministic input corpus
-    (captions from the sf ``documents`` table) plants true near-dups: each
-    base image recurs re-encoded in another format (lossless re-encode ⇒
-    identical pixels ⇒ phash hamming 0; the lossy 'lqi' re-encode ⇒
-    PSNR≥40 pixels ⇒ near-zero hamming).
+def image_phash_pairs(images: pa.Table, max_hamming: int = 3) -> pd.DataFrame:
+    """Image near-duplicate pairs (image_id_a, image_id_b) by
+    perceptual-hash hamming over DECODED pixels — the reusable multimodal
+    dedup operator behind :func:`q_image_phash_dups` and the corpus
+    pipeline's optional image stage (ONE implementation, as with the text
+    near-dup drop). ``id_a < id_b`` in the input table's row order, so
+    keep-first drops the later occurrence (e.g. a planted re-encode).
 
     Pipeline: images table → ``DecodeImages(compute_features=True)`` actor
     pool (phash computed from the decoded pixels — the stored column is
     never trusted) → 64-bit phash banded into 4×16-bit chunks (EXACT for
     hamming ≤ 3 by pigeonhole) → :func:`_lsh_candidates` with the
-    in-bucket hamming pair_filter → (image_id_a, image_id_b). Rows-only
-    (decode + LSH are not SQL-expressible); pinned against brute-force
-    hamming and the planted-pair inventory in tests."""
+    in-bucket hamming pair_filter."""
     import ray.data as rd
 
     from ..functions.sketches import hamming64_batch
-    from ..sources.fixtures import build_images_with_reencodes
     from ..stages.multimodal import DecodeImages
 
-    images = build_images_with_reencodes(32, captions=_head_texts(sf_dir))
     id_of = images["image_id"].to_pylist()  # rid -> image_id (local table)
     images = images.append_column(
         "rid", pa.array(np.arange(images.num_rows, dtype=np.int64)))
@@ -2571,6 +2582,21 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
         "image_id_a": [id_of[i] for i in pairs["id_a"]],
         "image_id_b": [id_of[i] for i in pairs["id_b"]],
     })
+
+
+def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
+    """Image near-duplicate pairs over the deterministic re-encode corpus
+    (captions from the sf ``documents`` table): each base image recurs
+    re-encoded in another format (lossless re-encode ⇒ identical pixels ⇒
+    phash hamming 0; the lossy 'lqi' re-encode ⇒ PSNR≥40 pixels ⇒
+    near-zero hamming) — all planted pairs must surface. Thin wrapper over
+    :func:`image_phash_pairs`; rows-only (decode + LSH are not
+    SQL-expressible), pinned against brute-force hamming and the planted
+    inventory in tests."""
+    from ..sources.fixtures import build_images_with_reencodes
+
+    images = build_images_with_reencodes(32, captions=_head_texts(sf_dir))
+    return image_phash_pairs(images, max_hamming=max_hamming)
 
 
 def _q_corpus_clean_stats(sf_dir: str):

@@ -131,3 +131,63 @@ def test_corpus_refuses_unguarded_legacy_outdir(tmp_path):
     (out / "part=0000" / "data.parquet").write_bytes(b"")
     with pytest.raises(ValueError, match="no config.json sidecar"):
         clean_corpus(SF_DIR, str(out))
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_image_stage_drops_planted_reencodes(tmp_path):
+    """Optional multimodal stage: every planted re-encoded near-dup
+    ('<id>-re', identical-or-PSNR≥40 pixels) is removed keep-first, all
+    base images survive, and the kept set is written hash-partitioned
+    under images/ with counts that reconcile with the funnel stats."""
+    from scraper_ray.pipelines.corpus import clean_corpus
+    from scraper_ray.sources.fixtures import build_images_with_reencodes
+
+    out = str(tmp_path / "corpus")
+    images = build_images_with_reencodes(16)
+    s = clean_corpus(SF_DIR, out, images_table=images)
+    assert s["n_images"] == 32
+    assert s["n_image_dup_dropped"] == 16
+    assert s["n_images_kept"] == 16
+
+    ids = []
+    base = os.path.join(out, "images")
+    for d in sorted(os.listdir(base)):
+        t = pq.read_table(os.path.join(base, d, "data.parquet"))
+        ids += t["image_id"].to_pylist()
+    assert len(ids) == s["n_images_kept"]
+    assert not any(i.endswith("-re") for i in ids)  # all variants dropped
+    assert set(ids) == {i for i in images["image_id"].to_pylist()
+                        if not i.endswith("-re")}  # every base kept
+
+    # stats-only path agrees without writing anything
+    s2 = clean_corpus(SF_DIR, None, images_table=images)
+    for k in ("n_images", "n_image_dup_dropped", "n_images_kept"):
+        assert s2[k] == s[k]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_sketch_profile_rides_exchange(tmp_path):
+    """The HLL source-count and token-histogram quantiles riding the dedup
+    exchange match ground truth computed over the actual kept rows — and
+    are identical between the write path and the stats-only path (the
+    merges are batching-invariant)."""
+    import numpy as np
+
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = str(tmp_path / "corpus")
+    s = clean_corpus(SF_DIR, out)
+    kept = pd.concat([
+        pq.read_table(os.path.join(out, d, "data.parquet")).to_pandas()
+        for d in sorted(os.listdir(out)) if d.startswith("part=")
+    ])
+    n_src = kept["source"].nunique()
+    # HLL p=12 → ~1.6% rse; at this cardinality the estimate is exact-ish
+    assert abs(s["n_distinct_sources_est"] - n_src) <= max(2, 0.05 * n_src)
+    # histogram quantiles: within one 2^(1/8)-width bin (≤9% relative)
+    for key, q in (("token_bpe_p50", 0.5), ("token_bpe_p90", 0.9)):
+        exact = float(np.quantile(kept["n_tokens_bpe"], q, method="lower"))
+        assert exact <= s[key] <= np.ceil(exact * 2 ** (1 / 8)) + 1, (key, exact)
+
+    s2 = clean_corpus(SF_DIR, None)
+    for k in ("n_distinct_sources_est", "token_bpe_p50", "token_bpe_p90"):
+        assert s2[k] == s[k]
