@@ -71,7 +71,7 @@ BENCH_QUERIES = [
 ]
 
 
-def run_crawl_bench(num_cpus: int) -> dict:
+def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
     from scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
     from scraper_ray.sources.fixtures import cached_images_table, seed_urls
 
@@ -82,6 +82,13 @@ def run_crawl_bench(num_cpus: int) -> dict:
     out_dir = f"{base}/scraper_ray_bench_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     images = cached_images_table(CRAWL_KW["n_images"])
+    kw = dict(CRAWL_KW)
+    if html:
+        # html-mode sample: per-page render + parse/extract replaces the
+        # fused direct path (verify_decode off — the html path measures the
+        # parse pipeline, the direct sample already covers decode+PSNR);
+        # page graph is identical (parity-pinned), only throughput differs
+        kw.update(html=True, verify_decode=False)
     cfg = CrawlConfig(
         out_dir=out_dir,
         seeds=seed_urls(CRAWL_KW["n_hosts"]),
@@ -89,7 +96,7 @@ def run_crawl_bench(num_cpus: int) -> dict:
         # levels stays 4× and shards/driver/raylet keep dedicated cores
         fetch_concurrency=max(2, (num_cpus * 3) // 4),
         checkpoint_every=0,  # no per-round checkpoint in the timed loop
-        **CRAWL_KW,
+        **kw,
     )
     res = run_crawl(cfg, images)
     # steady-state throughput: exclude the first two ramp-up waves
@@ -213,6 +220,20 @@ def main() -> None:
         {"fetched_per_sec": r["fetched_per_sec"],
          "steal_jiffies": r["steal_jiffies"]} for r in samples
     ]
+    # html-mode sample (best-of-2, steal recorded): the per-page
+    # render+parse path the parity suite pins against direct mode —
+    # previously never measured by bench (VERDICT r3 item 3)
+    html_samples = []
+    for _ in range(2):
+        s0 = _read_steal()
+        rec = run_crawl_bench(NUM_CPUS, html=True)
+        rec["steal_jiffies"] = _read_steal() - s0
+        html_samples.append(rec)
+    crawl_html = max(html_samples, key=lambda r: r["fetched_per_sec"])
+    crawl_html["samples"] = [
+        {"fetched_per_sec": r["fetched_per_sec"],
+         "steal_jiffies": r["steal_jiffies"]} for r in html_samples
+    ]
     qrec = run_queries_pinned(SF_DIR)
     queries = qrec["queries"]
     total = crawl["elapsed_sec"] + sum(queries.values())
@@ -228,6 +249,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "crawl": crawl,
+                "crawl_html": crawl_html,
             }
         )
     )
