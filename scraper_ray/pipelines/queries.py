@@ -2532,6 +2532,127 @@ def q_token_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     })
 
 
+def q_token_quantiles_exact(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """EXACT token-count quantiles — the audit path next to the mergeable
+    log-histogram (:func:`q_token_quantiles`): token counts live in a small
+    bounded value domain (a count, not a measurement), so a VALUE-DOMAIN
+    histogram is exact and still mergeable — per-batch ``np.unique`` counts
+    hash-partition into 16 coarse groups, each group sums with one pandas
+    kernel, and the driver assembles the ≤ thousands-of-distinct-values
+    distribution and reads quantiles off the cumulative sum. The exchange
+    carries (value, count) pairs — KBs at any corpus size; no global sort.
+    Quantile convention matches DuckDB's ``quantile_disc``: the 1-based
+    ``ceil(q·n)``-th order statistic."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(ntok.astype(np.int64), return_counts=True)
+        pk = ((vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(60)).astype(np.int32)
+        return pa.table({"v": pa.array(vals), "c": pa.array(cnts),
+                         "_pkey": pa.array(pk)})
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False)["c"].sum()
+        return g[["v", "c"]]
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("_pkey")
+            .map_groups(sum_part, batch_format="pandas")
+            .to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    total = int(dist["c"].sum())
+    cum = dist["c"].cumsum().to_numpy()
+    vals = dist["v"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))  # 1-based order statistic
+        out_q.append(q)
+        out_v.append(int(vals[int(np.searchsorted(cum, rank))]))
+    return pd.DataFrame({"quantile": pd.Series(out_q, dtype="float64"),
+                         "n_tokens": pd.Series(out_v, dtype="int64")})
+
+
+Q_TOKEN_QUANTILES_EXACT_SQL = """
+SELECT 0.50 AS quantile, CAST(quantile_disc(len(string_split(text, ' ')), 0.50) AS BIGINT) AS n_tokens FROM documents
+UNION ALL
+SELECT 0.90, CAST(quantile_disc(len(string_split(text, ' ')), 0.90) AS BIGINT) FROM documents
+UNION ALL
+SELECT 0.99, CAST(quantile_disc(len(string_split(text, ' ')), 0.99) AS BIGINT) FROM documents
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 20):
+    """Corpus-level TF-IDF term ranking — the relevance-weighting operator
+    behind quality filtering and topical analysis of a training corpus.
+    Distributed shape: per-batch (term, tf, df) partials (pandas
+    value_counts; df counts each doc once — docs never straddle batches)
+    → terms hash-partition into 16 coarse groups → each partition sums its
+    vocabulary slice and returns only its LOCAL top-k by score → the
+    driver merges ≤ 16·k candidate rows (correct: a global top-k member is
+    a top-k member of its own partition). The full vocabulary never
+    reaches the driver. Score = tf · ln(N/df), ties broken by term; float
+    rounded to 6 decimals for cross-engine comparability."""
+    ds = _read(sf_dir, "documents", ["text"])
+    n_docs = ds.count()
+
+    from ..functions.hashing import hash64_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = [x.split(" ") for x in texts]
+        df_ = pd.DataFrame({
+            "d": np.repeat(np.arange(len(texts)), [len(x) for x in toks]),
+            "term": np.concatenate([np.asarray(x, dtype=object)
+                                    for x in toks]),
+        })
+        tf = df_.groupby("term").size()
+        dfc = df_.drop_duplicates(["d", "term"]).groupby("term").size()
+        terms = tf.index.to_numpy(dtype=object)
+        h = hash64_batch([str(x) for x in terms])
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tf.to_numpy(dtype=np.int64)),
+            "df": pa.array(dfc.reindex(tf.index).to_numpy(dtype=np.int64)),
+            "_pkey": pa.array((h >> np.uint64(60)).astype(np.int32)),
+        })
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False)[["tf", "df"]].sum()
+        score = np.round(
+            s["tf"].to_numpy(dtype=np.float64)
+            * np.log(n_docs * 1.0 / s["df"].to_numpy(dtype=np.float64)), 6)
+        s["tfidf"] = score
+        s = s.sort_values(["tfidf", "term"],
+                          ascending=[False, True]).head(k)
+        return s[["term", "tf", "df", "tfidf"]]
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("_pkey")
+            .map_groups(local_topk, batch_format="pandas")
+            .to_pandas())
+    out = (cand.sort_values(["tfidf", "term"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["tf"] = out["tf"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+Q_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), stats AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM terms GROUP BY term
+)
+SELECT term, tf, df,
+       round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+FROM stats ORDER BY tfidf DESC, term LIMIT 20
+"""
+
+
 def image_phash_pairs(images: pa.Table, max_hamming: int = 3) -> pd.DataFrame:
     """Image near-duplicate pairs (image_id_a, image_id_b) by
     perceptual-hash hamming over DECODED pixels — the reusable multimodal
@@ -2635,6 +2756,8 @@ QUERIES = {
     "image_phash_dups": q_image_phash_dups,
     "distinct_orders_hll": q_distinct_orders_hll,
     "distinct_orders_exact": q_distinct_orders_exact,
+    "token_quantiles_exact": q_token_quantiles_exact,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,
@@ -2680,6 +2803,8 @@ ORACLE_SQL = {
     "union_distinct": Q_UNION_SQL,
     "heavy_hitter_users_exact": Q_HEAVY_HITTER_EXACT_SQL,
     "distinct_orders_exact": Q_DISTINCT_ORDERS_EXACT_SQL,
+    "token_quantiles_exact": Q_TOKEN_QUANTILES_EXACT_SQL,
+    "tfidf_top_terms": Q_TFIDF_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
