@@ -349,16 +349,17 @@ def scaling() -> None:
 
 
 def _record_baseline(out: dict) -> None:
+    """Record the run under an auto-managed section WITHOUT touching the
+    hand-written analysis above it (the old truncate-at-marker behaviour
+    destroyed the consolidated multi-run narrative every --scaling run)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
-    marker = "## Measured scaling results"
+    marker = "## Latest --scaling run (auto-updated by bench.py)"
     lo, hi = SCALE_LO, SCALE_HI
     block = (
         f"{marker}\n\n"
-        f"Protocol: identical crawl (103k pages, decode-verified) pinned via "
-        f"taskset to {lo} vs {hi} cores (N vs 4N; fetch pools 3 vs 12 "
-        f"workers), best of {SCALE_REPS} runs per level — this sandbox host "
-        f"shows heavy CPU steal (up to ~18 of 32 vCPUs), recorded per "
-        f"sample below.\n\n"
+        f"Identical crawl pinned via taskset to {lo} vs {hi} quiet cores "
+        f"(N vs 4N; fetch pools 3 vs 12 workers), best of {SCALE_REPS} runs "
+        f"per level; only near-zero-steal samples are cross-comparable.\n\n"
         f"| fetched/s @{lo}cpu | fetched/s @{hi}cpu | inserts/s @{lo}cpu "
         f"| inserts/s @{hi}cpu | efficiency | pages |\n"
         f"|---|---|---|---|---|---|\n"
@@ -372,7 +373,11 @@ def _record_baseline(out: dict) -> None:
         with open(path) as f:
             text = f.read()
         if marker in text:
-            text = text[: text.index(marker)] + block
+            # replace only the auto block: marker → next '## ' heading or EOF
+            start = text.index(marker)
+            nxt = text.find("\n## ", start + len(marker))
+            tail = "" if nxt < 0 else text[nxt + 1:]
+            text = text[:start] + block + ("\n" + tail if tail else "")
         else:
             text = text.rstrip() + "\n\n" + block
         with open(path, "w") as f:
