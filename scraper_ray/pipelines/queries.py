@@ -1866,6 +1866,70 @@ GROUP BY p.user_id, p.ts
 """
 
 
+def q_range_join_clicks(sf_dir: str, window_us: int = 3_600_000_000,
+                        num_parts: int = 64):
+    """Range (interval) join — the other windowed-join operator Ray Data
+    lacks natively, next to the as-of join: for each purchase event, the
+    count of the SAME user's clicks in ``[ts - window, ts]``. Users hash
+    into ``num_parts`` partitions (ONE exchange co-locates each user's
+    rows); inside a partition the interval probe is fully vectorized: rows
+    encode to a composite int64 key ``dense_uid · span + rel_ts`` (user ids
+    densified per partition, timestamps rebased to the partition minimum)
+    so every purchase's in-window click count is two ``np.searchsorted``
+    calls against ONE sorted click array — no per-user loop, no pair
+    expansion. Partitioning assumption: per-partition
+    ``distinct_users × (ts_span + window)`` must fit int64 (asserted);
+    raise ``num_parts`` to shrink both factors at scale."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (df["user_id"] % num_parts).astype("int32")
+        return df
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        if len(p) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_clicks": pd.Series([], dtype="int64")})
+        c = g[g["event_type"] == "click"]
+        uids, uinv = np.unique(g["user_id"].to_numpy(dtype=np.int64),
+                               return_inverse=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t0 = ts.min()
+        rel = ts - t0
+        span = int(rel.max()) + window_us + 2
+        assert len(uids) * span < (1 << 62), (len(uids), span)
+        comp = uinv.astype(np.int64) * span + rel
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        is_c = (g["event_type"] == "click").to_numpy()
+        ckeys = np.sort(comp[is_c])
+        hi = comp[is_p]
+        lo = hi - np.minimum(rel[is_p], window_us)  # clamp at the uid base
+        n = (np.searchsorted(ckeys, hi, side="right")
+             - np.searchsorted(ckeys, lo, side="left"))
+        return pd.DataFrame({
+            "event_id": p["event_id"].to_numpy(dtype=np.int64),
+            "n_clicks": n.astype(np.int64),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(count_in_window, batch_format="pandas")
+            .to_pandas())
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT p.event_id, count(c.event_id) AS n_clicks
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 def q_union_distinct(sf_dir: str):
     """Set ops: distinct users seen in clicks UNION purchases (Dataset.union
     + unique) with per-branch column pruning and pushed-down filters."""
@@ -2758,6 +2822,7 @@ QUERIES = {
     "distinct_orders_exact": q_distinct_orders_exact,
     "token_quantiles_exact": q_token_quantiles_exact,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "range_join_clicks": q_range_join_clicks,
     "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,
@@ -2805,6 +2870,7 @@ ORACLE_SQL = {
     "distinct_orders_exact": Q_DISTINCT_ORDERS_EXACT_SQL,
     "token_quantiles_exact": Q_TOKEN_QUANTILES_EXACT_SQL,
     "tfidf_top_terms": Q_TFIDF_SQL,
+    "range_join_clicks": Q_RANGE_JOIN_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
