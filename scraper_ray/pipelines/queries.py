@@ -2648,6 +2648,73 @@ SELECT 0.99, CAST(quantile_disc(len(string_split(text, ' ')), 0.99) AS BIGINT) F
 """
 
 
+def q_grouped_token_quantiles(sf_dir: str, qs=(0.5, 0.9)):
+    """EXACT per-group quantiles (token-count p50/p90 per ``source``) — the
+    grouped-percentile operator, built on the same value-domain-histogram
+    insight as :func:`q_token_quantiles_exact`: per-batch
+    (source, value, count) partials → ONE exchange hash-partitioned by
+    source (each group's full distribution lands in one partition) → a
+    vectorized per-partition kernel reads every group's quantiles off
+    groupwise cumulative sums. Exchange traffic is
+    O(groups × distinct-values) pairs — KBs — regardless of corpus size;
+    no sort of row data anywhere. DuckDB ``quantile_disc`` convention
+    (1-based ``ceil(q·n)``-th order statistic)."""
+    from ..functions.hashing import hash64_batch
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"source": t["source"].to_pylist(),
+                            "v": ntok.astype(np.int64)})
+              .groupby(["source", "v"]).size().reset_index(name="c"))
+        h = hash64_batch(df["source"].tolist())
+        df["_pkey"] = (h >> np.uint64(60)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["source", "v"], as_index=False)["c"].sum()
+             .sort_values(["source", "v"]))
+        # groupwise cumulative counts + the ceil(q*n) rank per group, all
+        # vectorized: searchsorted per group over its value slice
+        out_src, out_q, out_v = [], [], []
+        cum = s.groupby("source")["c"].cumsum().to_numpy()
+        vals = s["v"].to_numpy()
+        srcs = s["source"].to_numpy()
+        bounds = np.flatnonzero(
+            np.r_[True, srcs[1:] != srcs[:-1], True])  # group slice edges
+        for i in range(len(bounds) - 1):
+            a, b = bounds[i], bounds[i + 1]
+            total = int(cum[b - 1])
+            for q in qs:
+                rank = int(np.ceil(q * total))
+                j = a + int(np.searchsorted(cum[a:b], rank))
+                out_src.append(srcs[a])
+                out_q.append(q)
+                out_v.append(int(vals[j]))
+        return pd.DataFrame({"source": out_src,
+                             "quantile": pd.Series(out_q, dtype="float64"),
+                             "n_tokens": pd.Series(out_v, dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("_pkey")
+            .map_groups(quantiles, batch_format="pandas")
+            .to_pandas())
+
+
+Q_GROUPED_QUANTILES_SQL = """
+SELECT source, 0.50 AS quantile,
+       CAST(quantile_disc(len(string_split(text, ' ')), 0.50) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, 0.90,
+       CAST(quantile_disc(len(string_split(text, ' ')), 0.90) AS BIGINT)
+FROM documents GROUP BY source
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str, k: int = 20):
     """Corpus-level TF-IDF term ranking — the relevance-weighting operator
     behind quality filtering and topical analysis of a training corpus.
@@ -2823,6 +2890,7 @@ QUERIES = {
     "token_quantiles_exact": q_token_quantiles_exact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "range_join_clicks": q_range_join_clicks,
+    "grouped_token_quantiles": q_grouped_token_quantiles,
     "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,
@@ -2871,6 +2939,7 @@ ORACLE_SQL = {
     "token_quantiles_exact": Q_TOKEN_QUANTILES_EXACT_SQL,
     "tfidf_top_terms": Q_TFIDF_SQL,
     "range_join_clicks": Q_RANGE_JOIN_SQL,
+    "grouped_token_quantiles": Q_GROUPED_QUANTILES_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
