@@ -2784,6 +2784,55 @@ FROM stats ORDER BY tfidf DESC, term LIMIT 20
 """
 
 
+def q_embedding_centroids(sf_dir: str, num_parts: int = 16):
+    """Per-label embedding centroids (mean vector + count) — the grouped
+    fixed-width-vector aggregation every clustering / class-prototype
+    pipeline needs. DETERMINISTIC at any parallelism: labels hash into
+    ``num_parts`` partitions (each label's vectors land in ONE group), the
+    kernel sorts by ``vec_id`` and sums float64 in that fixed order via a
+    single ``np.add.reduceat`` over label boundaries — bit-identical
+    between runs, unlike per-batch partial sums whose merge order floats
+    with block boundaries (the cheaper alternative, correct to ~1 ulp, is
+    the right trade when determinism isn't contractual; this operator
+    makes the deterministic choice and pays one full exchange of the
+    vectors). Returns long format (label, n, dim, value) — one row per
+    centroid coordinate; rows-only (cross-engine float reduction order
+    differs), pinned exactly against same-order numpy in tests."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = ((lab.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(60)).astype(np.int32)
+        return t.append_column("_pkey", pa.array(pk))
+
+    def centroids(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["label", "vec_id"])
+        m = np.array(g["embedding"].to_list(), dtype=np.float64)
+        lab = g["label"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        sums = np.add.reduceat(m, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(lab)])
+        cent = sums / counts[:, None]
+        d = cent.shape[1]
+        return pd.DataFrame({
+            "label": pd.Series(np.repeat(lab[starts], d), dtype="int64"),
+            "n": pd.Series(np.repeat(counts, d), dtype="int64"),
+            "dim": pd.Series(np.tile(np.arange(d, dtype=np.int64),
+                                     len(starts)), dtype="int64"),
+            "value": pd.Series(cent.ravel(), dtype="float64"),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow", batch_size=4096)
+            .groupby("_pkey")
+            .map_groups(centroids, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
 def image_phash_pairs(images: pa.Table, max_hamming: int = 3) -> pd.DataFrame:
     """Image near-duplicate pairs (image_id_a, image_id_b) by
     perceptual-hash hamming over DECODED pixels — the reusable multimodal
@@ -2891,6 +2940,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "range_join_clicks": q_range_join_clicks,
     "grouped_token_quantiles": q_grouped_token_quantiles,
+    "embedding_centroids": q_embedding_centroids,
     "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,

@@ -260,3 +260,27 @@ def test_token_quantiles_within_bin_error():
         upper = row["n_tokens_le"]
         assert ex <= upper + 1e-9, (row["quantile"], ex, upper)
         assert ex > upper / (2 ** (1 / 8)) - 1.5, (row["quantile"], ex, upper)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_centroids_exact_and_deterministic():
+    """Per-label centroids (long format) match same-order (vec_id-sorted,
+    float64) numpy EXACTLY — the operator's determinism contract — and a
+    rerun is bit-identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.queries import q_embedding_centroids
+
+    got = q_embedding_centroids(SF_DIR)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"]).to_pandas()
+    t = t.sort_values(["label", "vec_id"])
+    for label, sub in t.groupby("label"):
+        m = np.array(sub["embedding"].to_list(), dtype=np.float64)
+        truth = m.sum(axis=0) / len(sub)
+        rows = got[got["label"] == label].sort_values("dim")
+        assert (rows["n"] == len(sub)).all()
+        assert np.array_equal(rows["value"].to_numpy(), truth), label
+    again = q_embedding_centroids(SF_DIR)
+    pd.testing.assert_frame_equal(got, again)
