@@ -49,6 +49,10 @@ def _bcast(ref):
     key = ref.hex()
     arr = _BCAST_CACHE.get(key)
     if arr is None:
+        # bounded: a long-lived worker serving many corpus runs would
+        # otherwise pin every past run's broadcast buffer forever
+        if len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.clear()
         arr = _BCAST_CACHE[key] = ray.get(ref)
     return arr
 

@@ -1892,7 +1892,6 @@ def q_range_join_clicks(sf_dir: str, window_us: int = 3_600_000_000,
         if len(p) == 0:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "n_clicks": pd.Series([], dtype="int64")})
-        c = g[g["event_type"] == "click"]
         uids, uinv = np.unique(g["user_id"].to_numpy(dtype=np.int64),
                                return_inverse=True)
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -2156,7 +2155,18 @@ def _emb_train_sample(sf_dir: str, train_rows: int, nq: int):
     df = (rd.read_parquet(emb_file, columns=["vec_id", "embedding"])
           .map_batches(pick, batch_format="pyarrow", batch_size=4096)
           .to_pandas())
-    df = df.sort_values("vec_id").head(train_rows + nq).reset_index(drop=True)
+    # cap in HASH order, not vec_id order: when the stride overshoots
+    # train_rows (e.g. mod=1 keeps every row on a small table) a
+    # vec_id-ordered head would reintroduce exactly the ordering bias this
+    # sample exists to remove — hash order is content-keyed and unbiased
+    vids = df["vec_id"].to_numpy(dtype=np.int64)
+    h = ((vids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+         >> np.uint64(17))
+    is_q = vids < nq
+    rank = np.lexsort((vids, h, ~is_q))  # queries first, then hash order
+    keep = np.zeros(len(df), dtype=bool)
+    keep[rank[:train_rows + int(is_q.sum())]] = True
+    df = df.loc[keep].sort_values("vec_id").reset_index(drop=True)
     ids = df["vec_id"].to_numpy(dtype=np.int64)
     m = np.array(df["embedding"].to_list(), dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -2502,8 +2512,21 @@ def q_heavy_hitter_users_exact(sf_dir: str, k: int = 10,
     entry SQL-hash-checkable (capacity 4096 ≥ the 1 500 distinct users at
     sf0.1, the largest driver scale). Same partial/combine machinery as
     :func:`q_heavy_hitter_users`; at 100 TB one would drop capacity below
-    the key cardinality and accept the documented n/capacity bound."""
-    return q_heavy_hitter_users(sf_dir, k=k, capacity=capacity)
+    the key cardinality and accept the documented n/capacity bound.
+
+    The precondition is CHECKED, not assumed: the full capacity-sized
+    summary is pulled and any eviction evidence (summary at capacity, or a
+    nonzero err — every eviction stamps err > 0 on the replacing key, and
+    merges only floor it upward) raises instead of silently returning
+    approximate counts under an 'exact' name."""
+    full = q_heavy_hitter_users(sf_dir, k=capacity, capacity=capacity)
+    if len(full) >= capacity or (full["err"] != 0).any():
+        raise ValueError(
+            f"exact-mode precondition violated: {len(full)} summary rows at "
+            f"capacity {capacity} (max err {int(full['err'].max())}) — "
+            "distinct keys exceed capacity; raise `capacity` or use "
+            "q_heavy_hitter_users with its documented error bound")
+    return full.head(k).reset_index(drop=True)
 
 
 Q_HEAVY_HITTER_EXACT_SQL = """
@@ -2733,6 +2756,11 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 20):
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
+        if not texts:  # empty leftover block
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "_pkey": pa.array([], pa.int32())})
         toks = [x.split(" ") for x in texts]
         df_ = pd.DataFrame({
             "d": np.repeat(np.arange(len(texts)), [len(x) for x in toks]),

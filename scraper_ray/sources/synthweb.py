@@ -87,6 +87,24 @@ class SynthWeb:
 
     # -- vectorized batch path (bench/scale mode; bit-identical to the
     #    scalar functions above — pinned by tests) --------------------------
+    def disallowed_batch(self, urls: list[str],
+                         hosts: list[str]) -> np.ndarray:
+        """Vectorized robots decision: URL disallowed iff path under
+        ``/private/`` AND the host disallows it — the ONE implementation
+        shared by ``page_batch`` and the downloader's batched html path
+        (scalar twin: :meth:`is_disallowed`); a semantics change here
+        propagates to every mode instead of drifting."""
+        n = len(urls)
+        host_dis = np.fromiter(
+            (self.host_disallows_private(hh) for hh in hosts),
+            dtype=bool, count=n)
+        # path.startswith('/private/') — find the first '/' after the scheme
+        priv = np.fromiter(
+            (u.startswith("/private/", u.find("/", 8)) if u.find("/", 8) > 0
+             else False for u in urls),
+            dtype=bool, count=n)
+        return host_dis & priv
+
     def page_batch(self, urls: list[str], hosts: list[str]):
         """(image_idx int64[n], links list[list[str]], disallowed bool[n])
         computed with batch hashing — one numpy pass instead of per-URL
@@ -98,17 +116,7 @@ class SynthWeb:
         deg = (hash64_batch(["deg::" + u for u in urls])
                % np.uint64(cfg.max_degree + 1)).astype(np.int64)
         h = hash64_batch(["link::" + u for u in urls])
-        # robots: URL disallowed iff path under /private/ AND host disallows
-        host_dis = np.fromiter(
-            (self.host_disallows_private(hh) for hh in hosts), dtype=bool, count=n
-        )
-        # path.startswith('/private/') — find the first '/' after the scheme
-        priv = np.fromiter(
-            (u.startswith("/private/", u.find("/", 8)) if u.find("/", 8) > 0
-             else False for u in urls),
-            dtype=bool, count=n,
-        )
-        disallowed = host_dis & priv
+        disallowed = self.disallowed_batch(urls, hosts)
         # child link matrix, vectorized per column j
         links: list[list[str]] = [[] for _ in range(n)]
         maxd = int(deg.max()) if n else 0

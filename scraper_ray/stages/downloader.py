@@ -83,13 +83,17 @@ class Downloader:
         batch-scoped payload buffers (HTTPDownloader) must override.
         ``retries`` is advisory: a subclass whose ``fetch_one`` keeps the
         plain one-arg signature simply never sees attempt numbers."""
-        import inspect
+        aware = getattr(self, "_fetch_one_retry_aware", None)
+        if aware is None:  # reflect once per instance, not per batch
+            import inspect
 
+            aware = "retries" in inspect.signature(
+                self.fetch_one).parameters
+            self._fetch_one_retry_aware = aware
         n = len(urls)
         idx = np.full(n, -1, dtype=np.int64)
         errs = [""] * n
         bodies = [""] * n
-        aware = "retries" in inspect.signature(self.fetch_one).parameters
         for i, u in enumerate(urls):
             if aware:
                 r = int(retries[i]) if retries is not None else 0
@@ -179,14 +183,7 @@ class SynthWebDownloader(Downloader):
         n = len(urls)
         img = (hash64_batch(["img::" + u for u in urls])
                % np.uint64(self.web.cfg.n_images)).astype(np.int64)
-        host_dis = np.fromiter(
-            (self.web.host_disallows_private(h) for h in hosts),
-            dtype=bool, count=n)
-        priv = np.fromiter(
-            (u.startswith("/private/", u.find("/", 8)) if u.find("/", 8) > 0
-             else False for u in urls),
-            dtype=bool, count=n)
-        disallowed = host_dis & priv
+        disallowed = self.web.disallowed_batch(urls, hosts)
         failed = self._failed_mask(urls, retries)
         err = np.where(disallowed, "RobotsDisallowed",
                        np.where(failed, "NetworkError", ""))

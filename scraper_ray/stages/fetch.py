@@ -482,8 +482,13 @@ class WaveWorker(Fetcher):
         t_f0 = time.perf_counter()
         fetched = super().__call__(batch)
         t0 = time.perf_counter()
-        err_kinds = np.asarray(fetched["error_kind"].to_pylist(), dtype=object)
-        retry_idx = self._retry_idx(batch, err_kinds)
+        if self.retry_limit:
+            err_kinds = np.asarray(fetched["error_kind"].to_pylist(),
+                                   dtype=object)
+            retry_idx = self._retry_idx(batch, err_kinds)
+        else:  # default path stays pure-Arrow: no per-row Python walk
+            err_kinds = None
+            retry_idx = np.empty(0, dtype=np.int64)
         ok_mask = pc.equal(fetched["error_kind"], "")
         ok_rows = fetched.filter(ok_mask).select(ARCHIVE_COLUMNS)
         t1 = time.perf_counter()
@@ -493,9 +498,13 @@ class WaveWorker(Fetcher):
         t2 = time.perf_counter()
         # terminal errors only: rows being requeued are neither archived nor
         # error rows — they re-enter the frontier via _requeue below
-        term = np.asarray(err_kinds != "")
-        term[retry_idx] = False
-        err_rows = fetched.filter(pa.array(term)).select(
+        if err_kinds is not None:
+            term = np.asarray(err_kinds != "")
+            term[retry_idx] = False
+            term_mask = pa.array(term)
+        else:
+            term_mask = pc.invert(ok_mask)
+        err_rows = fetched.filter(term_mask).select(
             ["url", "host", "round", "depth", "error_kind"]
         )
         if err_rows.num_rows:

@@ -510,6 +510,7 @@ class StateShard:
             "seen_mode": self.seen.mode,
             "inserted_total": self.inserted_total,
             "drained_total": self.drained_total,
+            "retried_total": self.retried_total,
         }
         with open(os.path.join(d, "meta.json.tmp"), "w") as f:
             json.dump(meta, f)
@@ -523,6 +524,8 @@ class StateShard:
         self.tokens = {k: float(v) for k, v in meta["tokens"].items()}
         self.inserted_total = int(meta["inserted_total"])
         self.drained_total = int(meta["drained_total"])
+        # .get: pre-retry checkpoints carry no counter
+        self.retried_total = int(meta.get("retried_total", 0))
         self.pending = {}
         self.pending_count = 0
         # a shard instance that previously spilled must drop that spill
