@@ -284,3 +284,14 @@ def test_embedding_centroids_exact_and_deterministic():
         assert np.array_equal(rows["value"].to_numpy(), truth), label
     again = q_embedding_centroids(SF_DIR)
     pd.testing.assert_frame_equal(got, again)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitter_exact_refuses_insufficient_capacity():
+    """The 'exact' variant must raise loudly when distinct keys exceed
+    capacity (eviction would silently turn it approximate) rather than
+    hash-mismatch downstream."""
+    from scraper_ray.pipelines.queries import q_heavy_hitter_users_exact
+
+    with pytest.raises(ValueError, match="exact-mode precondition"):
+        q_heavy_hitter_users_exact(SF_DIR, capacity=4)
