@@ -2861,6 +2861,34 @@ def q_embedding_centroids(sf_dir: str, num_parts: int = 16):
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
+def q_host_pagerank(sf_dir: str):
+    """Composed crawl → graph-analytics pipeline: a small deterministic
+    crawl (captions from the sf ``documents`` table), host-level edge
+    extraction from the archive, then distributed PageRank
+    (``pipelines.rank`` — iterative raw-Ray-task stage over
+    hash-partitioned rank state; pinned to a dense numpy oracle at 1e-10
+    in tests). Rows-only (iterative + not SQL-expressible). Returns
+    (host, rank) summing to 1."""
+    import os
+    import shutil
+    import tempfile
+
+    from .crawl import CrawlConfig, run_crawl
+    from .rank import host_edges_from_crawl, pagerank
+    from ..sources.fixtures import build_images_table
+
+    out_dir = os.path.join(tempfile.gettempdir(), "scraper_ray_rank_q")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        out_dir=out_dir, num_parts=4, max_rounds=5, n_hosts=12,
+        max_degree=6, n_images=24, html=False, rate=5.0, burst=8.0,
+        fetch_concurrency=2,
+    )
+    run_crawl(cfg, build_images_table(24, captions=_head_texts(sf_dir, 24)))
+    edges = host_edges_from_crawl(out_dir, cfg.web_dict())
+    return pagerank(edges, num_parts=4)
+
+
 def image_phash_pairs(images: pa.Table, max_hamming: int = 3) -> pd.DataFrame:
     """Image near-duplicate pairs (image_id_a, image_id_b) by
     perceptual-hash hamming over DECODED pixels — the reusable multimodal
@@ -2969,6 +2997,7 @@ QUERIES = {
     "range_join_clicks": q_range_join_clicks,
     "grouped_token_quantiles": q_grouped_token_quantiles,
     "embedding_centroids": q_embedding_centroids,
+    "host_pagerank": q_host_pagerank,
     "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,
