@@ -2861,6 +2861,57 @@ def q_embedding_centroids(sf_dir: str, num_parts: int = 16):
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified DOWN-SAMPLING — the corpus-rebalancing
+    operator (cap over-represented sources, keep rare ones whole): each
+    row keeps iff ``doc_id % 1000 < rate_per_mille[source]``, a pure
+    integer predicate evaluated per batch with a broadcast rate map — no
+    RNG state, no coordination, reproducible row-for-row at any
+    parallelism AND in SQL (the same arithmetic is the oracle twin; a
+    hash-based variant would decorrelate from id assignment order but no
+    public SQL hash matches ours, so the id-arithmetic form is the
+    hash-checkable one). Returns per-(source) kept/total counts; the kept
+    rows themselves stream onward in a real pipeline."""
+    # per-mille keep rates: heavily cap src0/src1 (the "over-represented"
+    # strata in this synthetic rebalance), keep the rest at 700
+    rates = {"src0": 200, "src1": 400}
+    default_rate = 700
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+        })
+        rate = df["source"].map(rates).fillna(default_rate).to_numpy()
+        df["kept"] = (df["doc_id"].to_numpy() % 1000 < rate).astype(np.int64)
+        g = df.groupby("source", as_index=False).agg(
+            n_kept=("kept", "sum"), n_total=("kept", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("source")
+           .map_groups(lambda g: g.groupby("source", as_index=False)
+                       [["n_kept", "n_total"]].sum(),
+                       batch_format="pandas")
+           .to_pandas())
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT source,
+       CAST(sum(CASE WHEN doc_id % 1000 <
+            CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 400
+                        ELSE 700 END
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       count(*) AS n_total
+FROM documents GROUP BY source
+"""
+
+
 def q_host_pagerank(sf_dir: str):
     """Composed crawl → graph-analytics pipeline: a small deterministic
     crawl (captions from the sf ``documents`` table), host-level edge
@@ -2998,6 +3049,7 @@ QUERIES = {
     "grouped_token_quantiles": q_grouped_token_quantiles,
     "embedding_centroids": q_embedding_centroids,
     "host_pagerank": q_host_pagerank,
+    "stratified_sample": q_stratified_sample,
     "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
     "token_quantiles": q_token_quantiles,
@@ -3047,6 +3099,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": Q_TFIDF_SQL,
     "range_join_clicks": Q_RANGE_JOIN_SQL,
     "grouped_token_quantiles": Q_GROUPED_QUANTILES_SQL,
+    "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
