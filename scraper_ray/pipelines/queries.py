@@ -3007,6 +3007,186 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
     return image_phash_pairs(images, max_hamming=max_hamming)
 
 
+# ---------------------------------------------------------------------------
+# PII scrub: regex redaction over the text column — a standard corpus-prep
+# stage (emails / IPv4 → placeholder tokens). Both pyarrow.compute and DuckDB
+# use RE2, so the redacted TEXT itself is hash-checkable against the oracle.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _plant_pii(t: pa.Table) -> pa.Table:
+    """Deterministically plant PII into the synthetic text (testdata carries
+    none): doc_id%7 rows get an email, doc_id%11 rows an IPv4 — the SAME
+    arithmetic appears in the oracle SQL, so the scrub kernel is exercised
+    on known-positive rows in both engines. Test scaffolding, not part of
+    the operator."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    ids = pd.Series(did)
+    email_sfx = pd.Series(np.where(
+        did % 7 == 0,
+        " contact user" + ids.astype(str) + "@example.com now", ""))
+    ip_sfx = pd.Series(np.where(
+        did % 11 == 0,
+        " from 10." + (ids % 256).astype(str) + ".0."
+        + (ids % 100).astype(str) + " logged", ""))
+    planted = pa.array((t["text"].to_pandas() + email_sfx + ip_sfx))
+    return t.set_column(t.schema.get_field_index("text"), "text", planted)
+
+
+def scrub_pii(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """The reusable redaction kernel: count then replace email/IPv4 matches
+    with placeholder tokens, fully vectorized in pyarrow (RE2). Appends
+    ``n_email``/``n_ip`` (matches found, pre-redaction) and rewrites
+    ``text_col`` in place. Pure per-batch map — streams at any scale."""
+    txt = t[text_col]
+    n_email = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
+    n_ip = pc.count_substring_regex(txt, PII_IP_RE).cast(pa.int64())
+    scrubbed = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = pc.replace_substring_regex(scrubbed, PII_IP_RE, "<IP>")
+    t = t.set_column(t.schema.get_field_index(text_col), text_col, scrubbed)
+    return t.append_column("n_email", n_email).append_column("n_ip", n_ip)
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over ``documents``: plant deterministic emails/IPv4s
+    (same arithmetic as the oracle), then :func:`scrub_pii` per batch.
+    Returns (doc_id, text, n_email, n_ip) with the redacted text — the
+    strongest possible check surface, byte-compared against DuckDB's
+    regexp_replace (both engines are RE2). Embarrassingly parallel: one
+    ``map_batches`` stream, no exchange, no state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def batch(t: pa.Table) -> pa.Table:
+        return scrub_pii(_plant_pii(t))
+
+    df = ds.map_batches(batch, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_PII_SCRUB_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.' || (doc_id % 256) || '.0.'
+                      || (doc_id % 100) || ' logged'
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+  CAST(length(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_email,
+  CAST(length(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+FROM planted
+"""
+
+
+# ---------------------------------------------------------------------------
+# data mixture: deterministic weighted per-source sampling to a token budget
+# — the "mix N% web / M% code / ..." training-data composition step.
+
+MIXTURE_BUDGET = 20_000  # total token budget (an input in a real pipeline)
+
+
+def q_data_mixture(sf_dir: str, budget: int = MIXTURE_BUDGET,
+                   batch_size: int = 65536):
+    """Weighted data mixture to a token budget: each source gets
+    ``budget * w_s // Σw`` tokens; documents fill that budget in a
+    deterministic pseudo-random order (Knuth multiplicative hash of
+    doc_id — SQL-expressible, unlike our 128-bit content hash), taking a
+    doc iff its per-source cumulative token count stays within budget.
+
+    Scale shape: per-batch partials compute token counts + order keys AND
+    pre-truncate — within a batch, rows whose batch-local cumulative count
+    already exceeds the source budget can never be selected globally
+    (batch-local prefix sum lower-bounds the global prefix sum), so the
+    exchange carries at most ~budget tokens per (source, batch), not the
+    corpus. One coarse groupby(source) then runs the exact vectorized
+    cumsum/filter per source. Hot-source skew is bounded by the same
+    invariant: a group holds surviving candidates only.
+
+    Weights here are a deterministic function of the source name
+    (len%3+1) so the oracle can reproduce them; a real pipeline passes an
+    explicit {source: weight} map. Returns the selected rows
+    (source, doc_id, ntok, cum_tokens)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    # tiny build side: distinct sources → integer weights (broadcast by
+    # closure; sources are low-cardinality by construction — per-batch
+    # distinct partials, aggregate-sized merge, same shape as _collect_keys)
+    parts = _read(sf_dir, "documents", ["source"]).map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow")
+    srcs: set = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        srcs.update(b["source"].to_pylist())
+    weights = {s: len(s) % 3 + 1 for s in sorted(srcs)}
+    sw = sum(weights.values())
+    budgets = {s: (budget * w) // sw for s, w in weights.items()}
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        key = (did.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "doc_id": did,
+            "ntok": ntok.to_numpy(zero_copy_only=False),
+            "ord_key": key.astype(np.int64),
+        }).sort_values(["source", "ord_key", "doc_id"])
+        # batch-local prefix sum lower-bounds the global one → safe drop
+        local_cum = df.groupby("source")["ntok"].cumsum()
+        cap = df["source"].map(budgets).to_numpy()
+        return pa.Table.from_pandas(df[local_cum.to_numpy() <= cap],
+                                    preserve_index=False)
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ord_key", "doc_id"])
+        g["cum_tokens"] = g["ntok"].cumsum().astype("int64")
+        cap = budgets.get(g["source"].iloc[0], 0)
+        out = g[g["cum_tokens"] <= cap]
+        return out[["source", "doc_id", "ntok", "cum_tokens"]]
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+          .groupby("source")
+          .map_groups(select, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+Q_DATA_MIXTURE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS ntok,
+         (doc_id * 2654435761) % 4294967296 AS ord_key
+  FROM documents),
+w AS (SELECT source, (length(source) % 3) + 1 AS weight
+      FROM (SELECT DISTINCT source FROM documents)),
+tot AS (SELECT sum(weight) AS sw FROM w),
+cum AS (
+  SELECT t.doc_id, t.source, t.ntok, w.weight,
+         sum(t.ntok) OVER (PARTITION BY t.source
+             ORDER BY t.ord_key, t.doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks t JOIN w USING (source))
+SELECT source, doc_id, ntok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum, tot WHERE cum_tokens <= (20000 * weight) // tot.sw
+"""
+
+
 def _q_corpus_clean_stats(sf_dir: str):
     """Composed corpus-cleaning funnel (pipelines/corpus.py): features →
     exact dedup → near-dup removal → quality filter. Rows-only check (the
@@ -3067,6 +3247,8 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "stratified_split": q_stratified_split,
     "sequence_pack": q_sequence_pack,
+    "pii_scrub": q_pii_scrub,
+    "data_mixture": q_data_mixture,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
 
@@ -3100,6 +3282,8 @@ ORACLE_SQL = {
     "range_join_clicks": Q_RANGE_JOIN_SQL,
     "grouped_token_quantiles": Q_GROUPED_QUANTILES_SQL,
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "pii_scrub": Q_PII_SCRUB_SQL,
+    "data_mixture": Q_DATA_MIXTURE_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }

@@ -287,6 +287,31 @@ def test_embedding_centroids_exact_and_deterministic():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_data_mixture_batch_invariant_and_within_budget():
+    """The batch-local pre-truncation (drop rows whose batch-local cumsum
+    already exceeds the source budget — the bound that keeps the exchange
+    ~budget-sized at scale) must be LOSSLESS: tiny batches give the
+    bit-identical selection. And every source stays within its integer
+    budget."""
+    from scraper_ray.pipelines.queries import MIXTURE_BUDGET, q_data_mixture
+
+    big = q_data_mixture(SF_DIR)
+    small = q_data_mixture(SF_DIR, batch_size=32)
+    pd.testing.assert_frame_equal(big, small)
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    all_srcs = pc.unique(pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["source"])["source"]
+        .combine_chunks()).to_pylist()
+    sw = sum(len(s) % 3 + 1 for s in all_srcs)
+    per_src = big.groupby("source")["cum_tokens"].max()
+    for s, cum in per_src.items():
+        assert cum <= (MIXTURE_BUDGET * (len(s) % 3 + 1)) // sw, (s, cum)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_heavy_hitter_exact_refuses_insufficient_capacity():
     """The 'exact' variant must raise loudly when distinct keys exceed
     capacity (eviction would silently turn it approximate) rather than
