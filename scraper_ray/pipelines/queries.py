@@ -1347,6 +1347,54 @@ FROM documents GROUP BY source
 """
 
 
+# BPE-ish pretokenizer counting: the GPT-2 pretokenizer pattern minus its
+# RE2-unsupported negative lookahead — both pyarrow and DuckDB run RE2, so
+# the per-doc counts are hash-checkable. Token-budget accounting for
+# training-data pipelines where whitespace tokens undercount (~30% here).
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_bpe_pretoken_stats(sf_dir: str):
+    """Per-source BPE-pretoken budget stats: count of pretokenizer matches
+    per doc (``BPE_PRETOKEN_RE``, vectorized RE2 per batch), then
+    mergeable per-source partials (sum/max) → one small groupby. Same
+    partial/combiner shape as :func:`q_token_stats`."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], BPE_PRETOKEN_RE).cast(pa.int64())
+        tt = pa.table({"source": t["source"], "n": n})
+        g = tt.group_by("source").aggregate(
+            [("n", "count", pc.CountOptions(mode="all")),
+             ("n", "sum"), ("n", "max")])
+        return pa.table({"source": g["source"], "n_docs": g["n_count"],
+                         "sum_bpe": g["n_sum"], "max_bpe": g["n_max"]})
+
+    from ray.data.aggregate import Max, Sum
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby("source")
+          .aggregate(Sum("n_docs", alias_name="n_docs"),
+                     Sum("sum_bpe", alias_name="sum_bpe"),
+                     Max("max_bpe", alias_name="max_bpe"))
+          .to_pandas())
+    for c in ("n_docs", "sum_bpe", "max_bpe"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+Q_BPE_PRETOKEN_SQL = r"""
+SELECT source, count(*) AS n_docs,
+  CAST(sum(length(regexp_extract_all(text,
+    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+    ))) AS BIGINT) AS sum_bpe,
+  CAST(max(length(regexp_extract_all(text,
+    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+    ))) AS BIGINT) AS max_bpe
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # 12. brute-force cosine top-k similarity search (ANN baseline): broadcast
 #     query matrix, per-batch numpy matmul, per-batch top-k, tiny final merge
@@ -3216,6 +3264,7 @@ QUERIES = {
     "source_blacklist": q_source_blacklist,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
+    "bpe_pretoken_stats": q_bpe_pretoken_stats,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -3270,6 +3319,7 @@ ORACLE_SQL = {
     "source_blacklist": Q_SOURCE_BLACKLIST_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
+    "bpe_pretoken_stats": Q_BPE_PRETOKEN_SQL,
     "ann_topk": Q_ANN_SQL,
     "embedding_near_dup": Q_EMB_NEAR_DUP_SQL,
     "embedding_dup_clusters": Q_EMB_DUP_CLUSTERS_SQL,
