@@ -3056,6 +3056,129 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# FULL OUTER join of two per-user aggregates. The scalable plan for an
+# outer join of aggregations over the same key is a side-padded union +
+# ONE grouped-sum exchange (each side contributes zeros for the other
+# side's measures; group-sum then reconstructs exactly the COALESCE'd
+# outer-join row, including side-only keys) — no join operator, no second
+# exchange, no null handling at scale.
+
+
+def q_full_outer_user_value(sf_dir: str, min_value: float = 90.0,
+                            num_parts: int = 64):
+    """Per-user high-value click totals FULL OUTER per-user purchase totals
+    (both sides carry genuine side-only users at the thresholds used).
+    Money moves in exact integer cents (DuckDB float sums differ by
+    reduction order otherwise). Output: one row per user appearing on
+    EITHER side, zeros for the missing side."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    zero = ("n_click", "click_cents", "n_purch", "purch_cents")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"])),
+            pc.greater(t["value"], min_value))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        is_click = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False)
+        c = cents.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "n_click": is_click.astype(np.int64),
+            "click_cents": np.where(is_click, c, 0),
+            "n_purch": (~is_click).astype(np.int64),
+            "purch_cents": np.where(~is_click, c, 0),
+        })
+        return df.groupby("user_id", as_index=False)[list(zero)].sum()
+
+    out = _hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], {c: (c, "sum") for c in zero}, num_parts=num_parts)
+    df = out.to_pandas().drop(columns=["_pkey"], errors="ignore")
+    for c in zero:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+Q_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_click,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS click_cents
+  FROM events WHERE event_type = 'click' AND value > 90
+  GROUP BY user_id),
+p AS (
+  SELECT user_id, count(*) AS n_purch,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS purch_cents
+  FROM events WHERE event_type = 'purchase' AND value > 90
+  GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(n_click, 0) AS BIGINT) AS n_click,
+       CAST(COALESCE(click_cents, 0) AS BIGINT) AS click_cents,
+       CAST(COALESCE(n_purch, 0) AS BIGINT) AS n_purch,
+       CAST(COALESCE(purch_cents, 0) AS BIGINT) AS purch_cents
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group top-N (N > 1): generalizes the top-1 argmax-per-key shape.
+# Global top-N per group ⊆ union of per-batch top-N per group, so each
+# batch emits at most N rows per group it sees — the exchange carries
+# O(groups × N), never the corpus.
+
+
+def q_top_docs_per_source(sf_dir: str, k: int = 3):
+    """Top-k longest documents per source (ties broken by doc_id), with
+    dense rank 1..k — per-batch vectorized local top-k partials, then one
+    small groupby finalizes (sources are low-cardinality; a
+    high-cardinality key would route through ``_hash_aggregate``'s coarse
+    partitions instead)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "ntok": ntok.to_numpy(zero_copy_only=False),
+        }).sort_values(["source", "ntok", "doc_id"],
+                       ascending=[True, False, True])
+        return df.groupby("source", as_index=False).head(k)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ntok", "doc_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "ntok", "rn"]]
+
+    df = (ds.map_batches(local_topk, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("source")
+          .map_groups(finalize, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values(["source", "rn"]).reset_index(drop=True)
+
+
+Q_TOP_DOCS_PER_SOURCE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY ntok DESC, doc_id) AS rn
+  FROM toks)
+SELECT source, doc_id, ntok, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrub: regex redaction over the text column — a standard corpus-prep
 # stage (emails / IPv4 → placeholder tokens). Both pyarrow.compute and DuckDB
 # use RE2, so the redacted TEXT itself is hash-checkable against the oracle.
@@ -3298,6 +3421,8 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "data_mixture": q_data_mixture,
+    "full_outer_user_value": q_full_outer_user_value,
+    "top_docs_per_source": q_top_docs_per_source,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
 
@@ -3334,6 +3459,8 @@ ORACLE_SQL = {
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "pii_scrub": Q_PII_SCRUB_SQL,
     "data_mixture": Q_DATA_MIXTURE_SQL,
+    "full_outer_user_value": Q_FULL_OUTER_SQL,
+    "top_docs_per_source": Q_TOP_DOCS_PER_SOURCE_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
