@@ -3358,6 +3358,67 @@ FROM cum, tot WHERE cum_tokens <= (20000 * weight) // tot.sw
 """
 
 
+def q_image_embed_topk(sf_dir: str, k: int = 3, nq: int = 4, grid: int = 8):
+    """Similarity search over the IMAGE payload: decode → tile embedding
+    (``stages.multimodal.tile_embedding``, an actor-pool stage emitting
+    ~0.5 KB vectors, never pixels) → brute-force cosine top-k against a
+    broadcast query matrix — the ann_topk shape composed with the
+    multimodal decode stage. Queries are the first ``nq`` base images;
+    over the re-encode corpus each query's top-1 must be its planted
+    re-encoded variant (identical or PSNR≥40 pixels ⇒ near-identical tile
+    embedding). Rows-only (decode not SQL-expressible); pinned exactly
+    against a from-scratch numpy brute force in tests."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.fixtures import build_images_with_reencodes
+    from ..stages.multimodal import ImageTileEmbed, _decode_any, tile_embedding
+
+    images = build_images_with_reencodes(32, captions=_head_texts(sf_dir))
+
+    # bounded driver-side query build: decode only the nq query blobs
+    base_ids = [i for i, s in enumerate(images["image_id"].to_pylist())
+                if not s.endswith("-re")][:nq]
+    qids = [images["image_id"][i].as_py() for i in base_ids]
+    qm = np.stack([
+        tile_embedding(_decode_any(images["bytes"][i].as_py(),
+                                   images["fmt"][i].as_py()), grid)
+        for i in base_ids])
+    q_ref = ray.put((qids, qm))
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        vids = np.asarray(t["image_id"].to_pylist())
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        sims = qm_ @ m.T
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(qids_):
+            idx = np.nonzero(vids != qid)[0]
+            if len(idx) == 0:
+                continue
+            r6 = np.round(sims[qi][idx], 6)
+            order = idx[np.lexsort((vids[idx], -r6))][:k]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(vids[order].tolist())
+            out["sim"].extend(np.round(sims[qi][order], 6).tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.string()),
+                         "neighbor_id": pa.array(out["neighbor_id"],
+                                                 pa.string()),
+                         "sim": pa.array(out["sim"], pa.float64())})
+
+    parts = (rd.from_arrow(images)
+             .map_batches(ImageTileEmbed, batch_format="pyarrow",
+                          batch_size=16, concurrency=2,
+                          fn_constructor_kwargs={"grid": grid})
+             .map_batches(topk_batch, batch_format="pyarrow",
+                          batch_size=4096)
+             .to_pandas())
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_id", as_index=False).head(k)
+    return out.reset_index(drop=True)
+
+
 def _q_corpus_clean_stats(sf_dir: str):
     """Composed corpus-cleaning funnel (pipelines/corpus.py): features →
     exact dedup → near-dup removal → quality filter. Rows-only check (the
@@ -3423,6 +3484,7 @@ QUERIES = {
     "data_mixture": q_data_mixture,
     "full_outer_user_value": q_full_outer_user_value,
     "top_docs_per_source": q_top_docs_per_source,
+    "image_embed_topk": q_image_embed_topk,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
 

@@ -183,6 +183,57 @@ class ImageFeatures:
         return out
 
 
+def tile_embedding(px: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Deterministic image embedding for similarity search: grid×grid
+    box-mean luminance tiles, mean-centered and L2-normalized (float64) —
+    cosine over these is a brightness-offset-insensitive layout similarity.
+    Stands in for a learned vision encoder (no model weights in this
+    environment) with the same pipeline shape: decode → per-image vector →
+    ANN. Requires min(h, w) ≥ grid."""
+    lum = px.astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    if min(h, w) < grid:
+        raise ValueError(f"image {h}x{w} smaller than tile grid {grid}")
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cells = np.add.reduceat(
+        np.add.reduceat(lum, ys[:-1], axis=0), xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    v = (cells / counts).ravel()
+    v -= v.mean()
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+class ImageTileEmbed:
+    """Actor-pool stage: bytes+fmt → ``embedding`` (fixed grid²-dim
+    list<double>) via one decode per blob. Emits only (image_id,
+    embedding) — payload bytes never leave the actor (the no-double-
+    transit rule), so the downstream ANN exchange moves ~0.5 KB/row
+    regardless of image size."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, embs = [], []
+        for image_id, blob, fmt in zip(batch["image_id"].to_pylist(),
+                                       batch["bytes"].to_pylist(),
+                                       batch["fmt"].to_pylist()):
+            if blob is None:
+                continue
+            try:
+                px = _decode_any(blob, fmt)
+            except NotImplementedError:
+                continue  # stub formats: no embedding (contract-tested)
+            ids.append(image_id)
+            embs.append(tile_embedding(px, self.grid))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "embedding": pa.array(embs, pa.list_(pa.float64())),
+        })
+
+
 class ImageStatsFused(DecodeImages):
     """Decode + features + narrow stats in ONE stage: the payload ``bytes``
     never re-enter the object store after decode (the CLAUDE.md no-double-

@@ -124,3 +124,42 @@ def test_ann_ivf_recall_vs_brute_force():
         got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
         recalls.append(len(truth & got) / len(truth))
     assert np.mean(recalls) >= 0.5, recalls  # nprobe=4/16 lists on random data
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_embed_topk_matches_numpy_and_finds_reencodes():
+    """image_embed_topk == from-scratch numpy brute force exactly (same
+    round/tiebreak convention), and every query's top-1 neighbor is its
+    planted re-encoded variant (lossless ⇒ identical pixels; lqi ⇒
+    PSNR≥40 ⇒ near-identical tile embedding)."""
+    from scraper_ray.pipelines.queries import _head_texts, q_image_embed_topk
+    from scraper_ray.sources.fixtures import build_images_with_reencodes
+    from scraper_ray.stages.multimodal import tile_embedding
+
+    k, nq = 3, 4
+    got = q_image_embed_topk(SF_DIR, k=k, nq=nq)
+
+    images = build_images_with_reencodes(32, captions=_head_texts(SF_DIR))
+    ids = np.array(images["image_id"].to_pylist())
+    embs = np.stack([
+        tile_embedding(_decode_any(images["bytes"][i].as_py(),
+                                   images["fmt"][i].as_py()))
+        for i in range(images.num_rows)])
+    qidx = [i for i, s in enumerate(ids) if not s.endswith("-re")][:nq]
+    rows = []
+    for qi in qidx:
+        sims = np.round(embs[qi] @ embs.T, 6)
+        mask = np.arange(len(ids)) != qi
+        idx = np.nonzero(mask)[0]
+        order = idx[np.lexsort((ids[idx], -sims[idx]))][:k]
+        for j in order:
+            rows.append((ids[qi], ids[j], sims[j]))
+    exp = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    g = got.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    e = exp.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+    top1 = got.groupby("query_id").first()
+    for qid, row in top1.iterrows():
+        assert row["neighbor_id"] == qid + "-re", (qid, row["neighbor_id"])
+        assert row["sim"] > 0.999
