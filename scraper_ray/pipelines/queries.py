@@ -3387,6 +3387,11 @@ def q_image_embed_topk(sf_dir: str, k: int = 3, nq: int = 4, grid: int = 8):
     q_ref = ray.put((qids, qm))
 
     def topk_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.string()),
+                          "neighbor_id": pa.array([], pa.string()),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows == 0:  # e.g. a batch of stub-format blobs
+            return empty
         qids_, qm_ = ray.get(q_ref)
         vids = np.asarray(t["image_id"].to_pylist())
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
