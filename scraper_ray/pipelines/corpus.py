@@ -34,6 +34,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 # worker-local broadcast cache: ray.get of a plasma object is cheap but not
@@ -98,7 +99,8 @@ def _merge_stat_blobs(hll_blobs, hist_blobs) -> tuple[bytes, bytes]:
 
 def clean_corpus(sf_dir: str, out_dir: str | None = None,
                  min_quality: float = 0.3, num_parts: int = 16,
-                 images_table: pa.Table | None = None) -> dict:
+                 images_table: pa.Table | None = None,
+                 pii_scrub: bool = False, _pii_plant: bool = False) -> dict:
     """Run the cleaning pipeline; returns the funnel stats dict (and writes
     partitioned parquet + ``stats.json`` when ``out_dir`` is given).
 
@@ -113,7 +115,16 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     columns (HLL of ``source`` + log-histogram of ``n_tokens_bpe``, both
     batching-invariant merges), so the output-corpus profile
     (``n_distinct_sources_est``, ``token_bpe_p50/p90``) costs zero extra
-    passes."""
+    passes.
+
+    ``pii_scrub=True`` redacts emails/IPv4s (``queries.scrub_pii`` — the
+    SAME RE2 kernel as the oracle-checked standalone query) inside the
+    features pass, BEFORE hashing: near-identical docs differing only in
+    their PII dedup together, and no PII reaches the output corpus.
+    Redaction counts ride the exchange as a per-row int64 and surface as
+    ``n_pii_redactions`` (over kept rows). ``_pii_plant`` is test
+    scaffolding: plant the deterministic positives first (testdata holds
+    no real PII)."""
     import ray
 
     from ..functions.hashing import hash64_batch
@@ -122,11 +133,12 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         count_tokens_bpe, detect_lang, fingerprint_batch, quality_features,
         quality_score,
     )
-    from .queries import _read, q_minhash_near_dup
+    from .queries import _plant_pii, _read, q_minhash_near_dup, scrub_pii
 
     cfg = {"sf_dir": sf_dir, "min_quality": min_quality,
            "num_parts": num_parts,
-           "with_images": images_table is not None}
+           "with_images": images_table is not None,
+           "pii_scrub": pii_scrub, "pii_plant": _pii_plant}
     if out_dir:
         # resume guard (mirrors crawl.py's manifest config check): finished
         # partitions are skipped on rerun, so the config that produced them
@@ -165,6 +177,13 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def features(t: pa.Table) -> pa.Table:
+        if pii_scrub:
+            scrubbed = scrub_pii(_plant_pii(t) if _pii_plant else t)
+            n_pii = pc.add(scrubbed["n_email"],
+                           scrubbed["n_ip"]).combine_chunks()
+            t = scrubbed.drop_columns(["n_email", "n_ip"])
+        else:
+            n_pii = pa.array(np.zeros(t.num_rows, dtype=np.int64))
         texts = t["text"].to_pylist()
         q, langs, bpe = [], [], []
         for x in texts:
@@ -182,6 +201,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
             "quality": pa.array(q, pa.float64()),
             "lang_pred": pa.array(langs, pa.string()),
             "n_tokens_bpe": pa.array(bpe, pa.int64()),
+            "n_pii": n_pii.cast(pa.int64()),
             "fingerprint": pa.array(fps.view(np.int64)),
             "h1": pa.array(h1.view(np.int64)),
             "h2": pa.array(h2.view(np.int64)),
@@ -228,8 +248,10 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         hll = HyperLogLog(p=_HLL_P).add_hashes(
             hash64_batch(out["source"].tolist()))
         hist = _token_hist(out["n_tokens_bpe"].to_numpy(dtype=np.int64))
+        n_pii_kept = int(out["n_pii"].sum())
         out["_stat_exact"] = np.int64(-1)  # -1 marks a data row
         out["_stat_near"] = np.int64(-1)
+        out["_stat_pii"] = np.int64(-1)
         out["_stat_hll"] = b""
         out["_stat_hist"] = b""
         stats_row = pd.DataFrame({
@@ -238,11 +260,13 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
             "quality": pd.Series([0.0], dtype="float64"),
             "lang_pred": [""],
             "n_tokens_bpe": pd.Series([0], dtype="int64"),
+            "n_pii": pd.Series([0], dtype="int64"),
             "fingerprint": pd.Series([0], dtype="int64"),
             "h1": pd.Series([0], dtype="int64"),
             "h2": pd.Series([0], dtype="int64"),
             "_stat_exact": pd.Series([n_exact], dtype="int64"),
             "_stat_near": pd.Series([n_near], dtype="int64"),
+            "_stat_pii": pd.Series([n_pii_kept], dtype="int64"),
             "_stat_hll": [hll.to_bytes()],
             "_stat_hist": [hist.tobytes()],
         })
@@ -278,10 +302,12 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                                          dtype="int64"),
                     "n_near": pd.Series([int(g["_stat_near"].sum())],
                                         dtype="int64"),
+                    "n_pii": pd.Series([int(g["_stat_pii"].sum())],
+                                       dtype="int64"),
                     "hll": [hll_b], "hist": [hist_b],
                 })
             out = g.drop(columns=["_wkey", "_stat_exact", "_stat_near",
-                                  "_stat_hll", "_stat_hist"])
+                                  "_stat_pii", "_stat_hll", "_stat_hist"])
             path = os.path.join(out_dir, f"part={part:04d}")
             os.makedirs(path, exist_ok=True)
             final = os.path.join(path, "data.parquet")
@@ -298,6 +324,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                 "rows": pd.Series([len(out)], dtype="int64"),
                 "n_exact": pd.Series([0], dtype="int64"),
                 "n_near": pd.Series([0], dtype="int64"),
+                "n_pii": pd.Series([0], dtype="int64"),
                 "hll": [b""], "hist": [b""],
             })
 
@@ -308,6 +335,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         n_kept = int(written["rows"].sum())
         n_after_exact = int(written["n_exact"].sum())
         n_near_dropped = int(written["n_near"].sum())
+        n_pii_red = int(written["n_pii"].sum())
         hll_blob, hist_blob = _merge_stat_blobs(written["hll"].tolist(),
                                                 written["hist"].tolist())
     else:
@@ -322,6 +350,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                                      dtype="int64"),
                 "n_near": pd.Series([int(df.loc[stat, "_stat_near"].sum())],
                                     dtype="int64"),
+                "n_pii": pd.Series([int(df.loc[stat, "_stat_pii"].sum())],
+                                   dtype="int64"),
                 "n_kept": pd.Series([int((~stat).sum())], dtype="int64"),
                 "hll": [hll_b], "hist": [hist_b],
             })
@@ -331,6 +361,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         n_kept = int(partials["n_kept"].sum())
         n_after_exact = int(partials["n_exact"].sum())
         n_near_dropped = int(partials["n_near"].sum())
+        n_pii_red = int(partials["n_pii"].sum())
         hll_blob, hist_blob = _merge_stat_blobs(partials["hll"].tolist(),
                                                 partials["hist"].tolist())
 
@@ -339,6 +370,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         "n_after_exact_dedup": int(n_after_exact),
         "n_near_dup_dropped": int(n_near_dropped),
         "n_kept": int(n_kept),
+        "n_pii_redactions": int(n_pii_red),
         "min_quality": min_quality,
         "num_parts": num_parts,
         # output-corpus profile from the sketches that rode the exchange
@@ -443,6 +475,9 @@ def main(argv=None) -> None:
     p.add_argument("--images-reencodes", type=int, default=0,
                    help="also clean a deterministic N-base-image corpus "
                         "with planted re-encoded near-dups (0 = text only)")
+    p.add_argument("--pii-scrub", action="store_true",
+                   help="redact emails/IPv4s before hashing/dedup "
+                        "(queries.scrub_pii; counts in n_pii_redactions)")
     args = p.parse_args(argv)
 
     import ray
@@ -457,7 +492,7 @@ def main(argv=None) -> None:
 
         images = build_images_with_reencodes(args.images_reencodes)
     stats = clean_corpus(args.sf_dir, args.out, args.min_quality, args.parts,
-                         images_table=images)
+                         images_table=images, pii_scrub=args.pii_scrub)
     print(json.dumps(stats))
     ray.shutdown()
 

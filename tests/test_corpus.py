@@ -191,3 +191,43 @@ def test_corpus_sketch_profile_rides_exchange(tmp_path):
     s2 = clean_corpus(SF_DIR, None)
     for k in ("n_distinct_sources_est", "token_bpe_p50", "token_bpe_p90"):
         assert s2[k] == s[k]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_pii_scrub_stage(tmp_path):
+    """pii_scrub=True with planted positives: no email/IPv4 pattern
+    survives in the output corpus, n_pii_redactions equals the sum of the
+    per-row n_pii column over kept rows, and the written+stats paths
+    agree."""
+    import re
+
+    from scraper_ray.pipelines.corpus import clean_corpus
+    from scraper_ray.pipelines.queries import PII_EMAIL_RE, PII_IP_RE
+
+    out = str(tmp_path / "corpus_pii")
+    s = clean_corpus(SF_DIR, out, pii_scrub=True, _pii_plant=True)
+    assert s["n_pii_redactions"] > 0
+
+    email = re.compile(PII_EMAIL_RE)
+    ip = re.compile(PII_IP_RE)
+    n_pii_sum, n_rows = 0, 0
+    for part in sorted(os.listdir(out)):
+        if not part.startswith("part="):
+            continue
+        t = pq.read_table(os.path.join(out, part, "data.parquet"))
+        for txt in t["text"].to_pylist():
+            assert not email.search(txt), txt[-80:]
+            assert not ip.search(txt), txt[-80:]
+        n_pii_sum += int(pd.Series(t["n_pii"].to_pylist()).sum())
+        n_rows += t.num_rows
+    assert n_rows == s["n_kept"]
+    assert n_pii_sum == s["n_pii_redactions"]
+
+    # stats-only path agrees with the written path
+    s2 = clean_corpus(SF_DIR, None, pii_scrub=True, _pii_plant=True)
+    assert s2["n_pii_redactions"] == s["n_pii_redactions"]
+    assert s2["n_kept"] == s["n_kept"]
+
+    # disabled by default: zero redactions, n_pii column still present
+    s3 = clean_corpus(SF_DIR, None)
+    assert s3["n_pii_redactions"] == 0

@@ -163,3 +163,30 @@ def test_image_embed_topk_matches_numpy_and_finds_reencodes():
     for qid, row in top1.iterrows():
         assert row["neighbor_id"] == qid + "-re", (qid, row["neighbor_id"])
         assert row["sim"] > 0.999
+
+
+def test_tile_embedding_properties():
+    """Property: tile embedding is unit-norm, invariant to a uniform
+    brightness offset (mean-centering), and exactly equal for identical
+    pixels regardless of encode format (the lossless re-encode case)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scraper_ray.stages.multimodal import tile_embedding
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**31 - 1),
+           st.integers(1, 55))
+    def check(h, w, seed, offset):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(10, 200, size=(h, w, 3), dtype=np.uint8)
+        e1 = tile_embedding(px)
+        assert abs(np.linalg.norm(e1) - 1.0) < 1e-9
+        e2 = tile_embedding((px.astype(np.int16) + offset).astype(np.uint8))
+        assert np.allclose(e1, e2, atol=1e-9)
+
+    check()
+
+    from scraper_ray.stages.multimodal import tile_embedding as te
+    with pytest.raises(ValueError, match="smaller than tile grid"):
+        te(np.zeros((4, 64, 3), dtype=np.uint8))

@@ -320,3 +320,45 @@ def test_heavy_hitter_exact_refuses_insufficient_capacity():
 
     with pytest.raises(ValueError, match="exact-mode precondition"):
         q_heavy_hitter_users_exact(SF_DIR, capacity=4)
+
+
+def test_scrub_pii_properties():
+    """Property: on digit/@-free word text with planted emails+IPs, the
+    scrub is idempotent, counts agree with Python re (a THIRD regex
+    engine beside pyarrow-RE2 and DuckDB-RE2), and no IPv4 pattern
+    survives scrubbing."""
+    import re
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scraper_ray.pipelines.queries import (
+        PII_EMAIL_RE, PII_IP_RE, scrub_pii,
+    )
+
+    words = st.text(alphabet="abc xyz", min_size=0, max_size=40)
+    email = st.integers(0, 999).map(lambda i: f"u{i}@ex{i % 7}.com")
+    ip = st.tuples(*[st.integers(0, 255)] * 4).map(
+        lambda t: ".".join(map(str, t)))
+    piece = st.one_of(words, email, ip)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=8))
+    def check(pieces):
+        text = " ".join(pieces)
+        t = pa.table({"text": [text]})
+        s1 = scrub_pii(t)
+        # counts agree with Python re on the original text
+        assert s1["n_email"][0].as_py() == len(re.findall(PII_EMAIL_RE, text))
+        assert s1["n_ip"][0].as_py() == len(re.findall(PII_IP_RE, text))
+        out1 = s1["text"][0].as_py()
+        assert not re.search(PII_IP_RE, out1)
+        # idempotent on this input class (no @/digits outside the planted
+        # patterns, pieces space-separated)
+        s2 = scrub_pii(pa.table({"text": [out1]}))
+        assert s2["text"][0].as_py() == out1
+        assert s2["n_email"][0].as_py() == 0
+        assert s2["n_ip"][0].as_py() == 0
+
+    check()
