@@ -2909,6 +2909,65 @@ def q_embedding_centroids(sf_dir: str, num_parts: int = 16):
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
+def q_embedding_centroids_fixed(sf_dir: str, num_parts: int = 16):
+    """Per-(label, dim) embedding centroid partials in EXACT fixed point —
+    the hash-checkable twin of :func:`q_embedding_centroids`: each value is
+    quantized to round-half-away(v·1e6) as int64 (float32 storage cast to
+    float64 FIRST — quantizing in float32 rounds differently), then integer
+    sums are batching/parallelism-invariant by construction (the only
+    aggregation shape that is — CLAUDE.md sketch-merge rule) and match
+    DuckDB bit-for-bit. Returns (label, dim, sum_fixed, n); the float
+    centroid is sum_fixed / (1e6·n) downstream. Per-batch vectorized
+    partials → one coarse exchange."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_fixed": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        x = emb * 1e6
+        # round half away from zero — DuckDB's round(); np.round would
+        # bank-round halves the other way
+        fx = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
+            .astype(np.int64)
+        df = pd.DataFrame(fx)
+        df["label"] = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = df.groupby("label")
+        sums, counts = g.sum(), g.size()
+        d = fx.shape[1]
+        labels = sums.index.to_numpy()
+        return pa.Table.from_pydict({
+            "label": np.repeat(labels, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(labels)),
+            "sum_fixed": sums.to_numpy().ravel(),
+            "n": np.repeat(counts.to_numpy(), d),
+        })
+
+    out = _hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["label", "dim"],
+        {"sum_fixed": ("sum_fixed", "sum"), "n": ("n", "sum")},
+        num_parts=num_parts)
+    df = out.to_pandas()
+    for c in ("label", "dim", "sum_fixed", "n"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+Q_EMB_CENTROIDS_FIXED_SQL = """
+SELECT label, CAST(s.i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(round(CAST(embedding[CAST(s.i AS INTEGER)] AS DOUBLE)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS sum_fixed,
+       count(*) AS n
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i) s
+GROUP BY label, s.i
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified DOWN-SAMPLING — the corpus-rebalancing
     operator (cap over-represented sources, keep rare ones whole): each
@@ -3466,6 +3525,7 @@ QUERIES = {
     "range_join_clicks": q_range_join_clicks,
     "grouped_token_quantiles": q_grouped_token_quantiles,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_centroids_fixed": q_embedding_centroids_fixed,
     "host_pagerank": q_host_pagerank,
     "stratified_sample": q_stratified_sample,
     "heavy_hitter_users": q_heavy_hitter_users,
@@ -3524,6 +3584,7 @@ ORACLE_SQL = {
     "range_join_clicks": Q_RANGE_JOIN_SQL,
     "grouped_token_quantiles": Q_GROUPED_QUANTILES_SQL,
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "embedding_centroids_fixed": Q_EMB_CENTROIDS_FIXED_SQL,
     "pii_scrub": Q_PII_SCRUB_SQL,
     "data_mixture": Q_DATA_MIXTURE_SQL,
     "full_outer_user_value": Q_FULL_OUTER_SQL,
