@@ -70,6 +70,22 @@ BENCH_QUERIES = [
     "simhash_dups",
 ]
 
+#: round-4+ operators timed once each (steal recorded) and reported under
+#: "queries_extended" — SEPARATE from BENCH_QUERIES so the headline
+#: crawl_plus_queries_sec stays comparable across rounds
+EXTENDED_QUERIES = [
+    "range_join_clicks",
+    "tfidf_top_terms",
+    "grouped_token_quantiles",
+    "pii_scrub",
+    "data_mixture",
+    "bpe_pretoken_stats",
+    "full_outer_user_value",
+    "top_docs_per_source",
+    "embedding_centroids_fixed",
+    "image_embed_topk",
+]
+
 
 def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
     from scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
@@ -116,7 +132,7 @@ def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
     }
 
 
-def run_queries(sf_dir: str, reps: int = 2) -> tuple[dict, dict]:
+def run_queries(sf_dir: str, reps: int = 2) -> tuple[dict, dict, dict]:
     """Best-of-``reps`` per query with per-sample steal recorded — the same
     quiet-window protocol as the crawl bench (r2's unpinned single-sample
     query numbers were steal-hostage and incomparable across rounds)."""
@@ -139,7 +155,14 @@ def run_queries(sf_dir: str, reps: int = 2) -> tuple[dict, dict]:
             samples[name].append(
                 {"sec": dt, "steal_jiffies": _read_steal() - s0})
         out[name] = min(s["sec"] for s in samples[name])
-    return out, samples
+    ext = {}
+    for name in EXTENDED_QUERIES:
+        s0 = _read_steal()
+        t0 = time.perf_counter()
+        QUERIES[name](sf_dir)
+        ext[name] = {"sec": round(time.perf_counter() - t0, 3),
+                     "steal_jiffies": _read_steal() - s0}
+    return out, samples, ext
 
 
 #: Query-bench pinning: 16 taskset-pinned quiet cores (same rationale as
@@ -172,8 +195,9 @@ def run_queries_pinned(sf_dir: str) -> dict:
         print(f"pinned query bench failed ({type(e).__name__}); falling "
               f"back to unpinned in-process run\n{err[-2000:]}",
               file=sys.stderr)
-        q, s = run_queries(sf_dir)
-        return {"queries": q, "samples": s, "pinned_cores": 0}
+        q, s, ext = run_queries(sf_dir)
+        return {"queries": q, "samples": s, "extended": ext,
+                "pinned_cores": 0}
 
 
 def queries_only() -> None:
@@ -185,8 +209,9 @@ def queries_only() -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    q, s = run_queries(SF_DIR)
-    print(json.dumps({"queries": q, "samples": s, "num_cpus": NUM_CPUS}))
+    q, s, ext = run_queries(SF_DIR)
+    print(json.dumps({"queries": q, "samples": s, "extended": ext,
+                      "num_cpus": NUM_CPUS}))
     ray.shutdown()
 
 
@@ -245,6 +270,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "query_samples": qrec.get("samples", {}),
+                "queries_extended": qrec.get("extended", {}),
                 "query_pinned_cores": qrec.get("pinned_cores", 0),
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
