@@ -168,16 +168,20 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 BROADCAST_KEY_LIMIT = 2_000_000
 
 
-def _collect_keys(ds, col: str, limit: int = BROADCAST_KEY_LIMIT):
+def _collect_keys(ds, col: str, limit: int = BROADCAST_KEY_LIMIT,
+                  cast=pa.int64()):
     """Distributed distinct-key build for broadcast join sides: each batch
-    emits its DISTINCT keys (a narrow int64 column — never the table, never
+    emits its DISTINCT keys (a narrow column — never the table, never
     a driver-side ``.to_pandas()`` of the input), and the driver merges the
     aggregate-sized partials. Returns a sorted ``pa.Array``, or ``None``
     once the distinct count exceeds ``limit`` — the caller must fall back
-    to the bucketed-exchange join path."""
-    parts = ds.map_batches(
-        lambda t: pa.table({col: pc.unique(t[col]).cast(pa.int64())}),
-        batch_format="pyarrow")
+    to the bucketed-exchange join path. ``cast=None`` keeps the column's
+    own type (string keys)."""
+    def distinct(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[col])
+        return pa.table({col: u.cast(cast) if cast is not None else u})
+
+    parts = ds.map_batches(distinct, batch_format="pyarrow")
     arrs: list[np.ndarray] = []
     total = 0
     for b in parts.iter_batches(batch_format="pyarrow"):
@@ -187,11 +191,11 @@ def _collect_keys(ds, col: str, limit: int = BROADCAST_KEY_LIMIT):
         if total > 4 * limit:  # pathological stream: bail before merging
             return None
     if not arrs:
-        return pa.array([], pa.int64())
+        return pa.array([], cast if cast is not None else pa.string())
     merged = np.unique(np.concatenate(arrs))
     if len(merged) > limit:
         return None
-    return pa.array(merged, pa.int64())
+    return pa.array(merged, cast) if cast is not None else pa.array(merged)
 
 
 def _attach_flag(fact_ds, fact_schema: pa.Schema, key_ds, key_col_lookup: str,
@@ -1403,6 +1407,30 @@ ANN_K = 5
 ANN_NQ = 10
 
 
+def _brute_topk_rows(qids, qm, vids, m, k, id_type=pa.int64()) -> pa.Table:
+    """The ONE brute-force cosine top-k partial kernel (ann_topk and
+    image_embed_topk): similarities against the broadcast query matrix,
+    rank by ROUND-6 similarity with id tiebreak (round-then-rank — ranking
+    raw floats flips boundary ties the other way; the convention is
+    load-bearing for oracle/test parity, so every caller must share it),
+    self-exclusion by id, per-batch top-k. Inputs are L2-normalized
+    row matrices; ``id_type`` covers int64 vec ids and string image ids."""
+    sims = qm @ m.T
+    out = {"query_id": [], "neighbor_id": [], "sim": []}
+    for qi, qid in enumerate(qids):
+        idx = np.nonzero(vids != qid)[0]
+        if len(idx) == 0:
+            continue
+        r6 = np.round(sims[qi][idx], 6)
+        order = idx[np.lexsort((vids[idx], -r6))][:k]
+        out["query_id"].extend([qid] * len(order))
+        out["neighbor_id"].extend(vids[order].tolist())
+        out["sim"].extend(np.round(sims[qi][order], 6).tolist())
+    return pa.table({"query_id": pa.array(out["query_id"], id_type),
+                     "neighbor_id": pa.array(out["neighbor_id"], id_type),
+                     "sim": pa.array(out["sim"], pa.float64())})
+
+
 def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
     import pyarrow.parquet as pq
     import ray
@@ -1429,27 +1457,7 @@ def _ann_partials(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ):
         vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = qm_ @ m.T  # (nq, batch)
-        rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qi, qid in enumerate(qids_):
-            s = sims[qi]
-            mask = vids != qid
-            idx = np.nonzero(mask)[0]
-            if len(idx) == 0:
-                continue
-            # rank by ROUNDED similarity with vec_id tiebreak, matching the
-            # SQL oracle's ORDER BY round(sim,6) DESC, vid — ranking on raw
-            # floats flips boundary ties the other way
-            r6 = np.round(s[idx], 6)
-            order = idx[np.lexsort((vids[idx], -r6))][:k]
-            rows["query_id"].extend([qid] * len(order))
-            rows["neighbor_id"].extend(vids[order].tolist())
-            rows["sim"].extend(np.round(s[order], 6).tolist())
-        return pa.table({
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-            "sim": pa.array(rows["sim"], pa.float64()),
-        })
+        return _brute_topk_rows(qids_, qm_, vids, m, k)
 
     import ray.data as rd
 
@@ -2928,6 +2936,11 @@ def q_embedding_centroids_fixed(sf_dir: str, num_parts: int = 16):
                              "sum_fixed": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if emb.shape[1] != 64:
+            raise ValueError(
+                f"embedding dim {emb.shape[1]} != 64: the oracle SQL's "
+                "range(1, 65) literal is pinned to the testdata dim — "
+                "update both together")
         x = emb * 1e6
         # round half away from zero — DuckDB's round(); np.round would
         # bank-round halves the other way
@@ -3140,10 +3153,14 @@ def q_full_outer_user_value(sf_dir: str, min_value: float = 90.0,
                      value_set=pa.array(["click", "purchase"])),
             pc.greater(t["value"], min_value))
         t = t.filter(keep)
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        # half-away-from-zero like DuckDB round(); pc.round banker-rounds
+        # exact half cents the other way (no halves in today's fixtures,
+        # but the convention must not depend on that)
+        x = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        c = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
+            .astype(np.int64)
         is_click = pc.equal(t["event_type"], "click").to_numpy(
             zero_copy_only=False)
-        c = cents.to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             "n_click": is_click.astype(np.int64),
@@ -3266,14 +3283,17 @@ def _plant_pii(t: pa.Table) -> pa.Table:
 
 
 def scrub_pii(t: pa.Table, text_col: str = "text") -> pa.Table:
-    """The reusable redaction kernel: count then replace email/IPv4 matches
-    with placeholder tokens, fully vectorized in pyarrow (RE2). Appends
-    ``n_email``/``n_ip`` (matches found, pre-redaction) and rewrites
+    """The reusable redaction kernel: replace email then IPv4 matches with
+    placeholder tokens, fully vectorized in pyarrow (RE2). ``n_email`` /
+    ``n_ip`` count the replacements actually PERFORMED (the IP count runs
+    on the email-redacted text — counting both patterns on the raw text
+    would double-count an IP inside an email span like 'u@1.2.3.4.com'),
+    so n_email+n_ip is exactly the number of redactions. Rewrites
     ``text_col`` in place. Pure per-batch map — streams at any scale."""
     txt = t[text_col]
     n_email = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
-    n_ip = pc.count_substring_regex(txt, PII_IP_RE).cast(pa.int64())
     scrubbed = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = pc.count_substring_regex(scrubbed, PII_IP_RE).cast(pa.int64())
     scrubbed = pc.replace_substring_regex(scrubbed, PII_IP_RE, "<IP>")
     t = t.set_column(t.schema.get_field_index(text_col), text_col, scrubbed)
     return t.append_column("n_email", n_email).append_column("n_ip", n_ip)
@@ -3309,15 +3329,20 @@ WITH planted AS (
                  ELSE '' END AS text
   FROM documents)
 SELECT doc_id,
-  regexp_replace(regexp_replace(text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+  regexp_replace(emailed,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
-  CAST(length(regexp_extract_all(text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-      AS n_email,
-  CAST(length(regexp_extract_all(text,
+  n_email,
+  CAST(length(regexp_extract_all(emailed,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
-FROM planted
+FROM (
+  SELECT doc_id,
+    regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        AS emailed,
+    CAST(length(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email
+  FROM planted) s
 """
 
 
@@ -3352,15 +3377,18 @@ def q_data_mixture(sf_dir: str, budget: int = MIXTURE_BUDGET,
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     # tiny build side: distinct sources → integer weights (broadcast by
-    # closure; sources are low-cardinality by construction — per-batch
-    # distinct partials, aggregate-sized merge, same shape as _collect_keys)
-    parts = _read(sf_dir, "documents", ["source"]).map_batches(
-        lambda t: pa.table({"source": pc.unique(t["source"])}),
-        batch_format="pyarrow")
-    srcs: set = set()
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        srcs.update(b["source"].to_pylist())
-    weights = {s: len(s) % 3 + 1 for s in sorted(srcs)}
+    # closure; sources are low-cardinality by construction). Unlike the
+    # join queries there is NO bucketed fallback — the semantics need the
+    # complete weight map — so a pathological source cardinality fails
+    # loudly instead of accumulating unbounded driver state.
+    srcs = _collect_keys(_read(sf_dir, "documents", ["source"]), "source",
+                         cast=None)
+    if srcs is None:
+        raise ValueError(
+            "source cardinality exceeds the broadcast limit; pass an "
+            "explicit per-source weight map (or partition weights) instead "
+            "of the name-derived demo weights")
+    weights = {s: len(s) % 3 + 1 for s in srcs.to_pylist()}
     sw = sum(weights.values())
     budgets = {s: (budget * w) // sw for s, w in weights.items()}
 
@@ -3446,29 +3474,16 @@ def q_image_embed_topk(sf_dir: str, k: int = 3, nq: int = 4, grid: int = 8):
     q_ref = ray.put((qids, qm))
 
     def topk_batch(t: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": pa.array([], pa.string()),
-                          "neighbor_id": pa.array([], pa.string()),
-                          "sim": pa.array([], pa.float64())})
         if t.num_rows == 0:  # e.g. a batch of stub-format blobs
-            return empty
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "neighbor_id": pa.array([], pa.string()),
+                             "sim": pa.array([], pa.float64())})
         qids_, qm_ = ray.get(q_ref)
         vids = np.asarray(t["image_id"].to_pylist())
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        sims = qm_ @ m.T
-        out = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qi, qid in enumerate(qids_):
-            idx = np.nonzero(vids != qid)[0]
-            if len(idx) == 0:
-                continue
-            r6 = np.round(sims[qi][idx], 6)
-            order = idx[np.lexsort((vids[idx], -r6))][:k]
-            out["query_id"].extend([qid] * len(order))
-            out["neighbor_id"].extend(vids[order].tolist())
-            out["sim"].extend(np.round(sims[qi][order], 6).tolist())
-        return pa.table({"query_id": pa.array(out["query_id"], pa.string()),
-                         "neighbor_id": pa.array(out["neighbor_id"],
-                                                 pa.string()),
-                         "sim": pa.array(out["sim"], pa.float64())})
+        # tile embeddings are already unit-norm (tile_embedding contract)
+        return _brute_topk_rows(qids_, qm_, vids, m, k,
+                                id_type=pa.string())
 
     parts = (rd.from_arrow(images)
              .map_batches(ImageTileEmbed, batch_format="pyarrow",

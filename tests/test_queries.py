@@ -349,10 +349,15 @@ def test_scrub_pii_properties():
         text = " ".join(pieces)
         t = pa.table({"text": [text]})
         s1 = scrub_pii(t)
-        # counts agree with Python re on the original text
-        assert s1["n_email"][0].as_py() == len(re.findall(PII_EMAIL_RE, text))
-        assert s1["n_ip"][0].as_py() == len(re.findall(PII_IP_RE, text))
+        # the FULL sequential transform (email pass, then IP pass on the
+        # email-redacted text) agrees with Python re, and the counts are
+        # the replacements actually performed
+        t1, ne = re.subn(PII_EMAIL_RE, "<EMAIL>", text)
+        t2, ni = re.subn(PII_IP_RE, "<IP>", t1)
+        assert s1["n_email"][0].as_py() == ne
+        assert s1["n_ip"][0].as_py() == ni
         out1 = s1["text"][0].as_py()
+        assert out1 == t2
         assert not re.search(PII_IP_RE, out1)
         # idempotent on this input class (no @/digits outside the planted
         # patterns, pieces space-separated)
