@@ -367,3 +367,15 @@ def test_scrub_pii_properties():
         assert s2["n_ip"][0].as_py() == 0
 
     check()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_data_mixture_refuses_unbounded_source_cardinality(monkeypatch):
+    """No bucketed fallback exists for the weight map (the semantics need
+    every source's weight), so a pathological source cardinality must fail
+    loudly, not accumulate unbounded driver state."""
+    from scraper_ray.pipelines import queries as qq
+
+    monkeypatch.setattr(qq, "_collect_keys", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="broadcast limit"):
+        qq.q_data_mixture(SF_DIR)
