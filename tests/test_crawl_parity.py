@@ -175,3 +175,22 @@ def test_resume_from_checkpoint_identical_outputs(tmp_path):
     for mf, mp in zip(res_full["metrics"], res2["metrics"]):
         for k in FUNNEL:
             assert mf[k] == mp[k]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("kw", [
+    dict(num_parts=1),                                  # degenerate: 1 shard
+    dict(num_parts=8, n_hosts=5, max_rounds=5),         # parts > hosts
+    dict(rate=1.0, burst=1.0, max_rounds=6),            # tight politeness
+    dict(max_degree=12, n_hosts=16, max_rounds=3,       # wide fanout,
+         seen_partition="url"),                         # url-routed seen
+])
+def test_engine_matches_oracle_config_sweep(tmp_path, kw):
+    """Parity must hold across the config space, not just the pinned
+    fixtures: shard-count degeneracies (1 shard; more shards than hosts),
+    budget-starved politeness, and wide fanout under url-hash seen
+    partitioning all reproduce the sequential oracle exactly."""
+    cfg = _cfg(tmp_path, html=False, **kw)
+    images = build_images_table(cfg.n_images)
+    res = run_crawl(cfg, images)
+    _assert_parity(res, cfg, images)
