@@ -3498,6 +3498,198 @@ def q_image_embed_topk(sf_dir: str, k: int = 3, nq: int = 4, grid: int = 8):
     return out.reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# ordered-window scans: cumulative prefix sum and sliding-frame sum per key.
+# Both use the ordered-log pattern (one hash exchange on the partition key,
+# then a single sort + vectorized cython kernels covering every key in the
+# partition at once) — never a per-group Python hop, never a global sort.
+
+
+def q_running_revenue(sf_dir: str, num_parts: int = 64):
+    """Per-customer cumulative revenue: SUM ... OVER (PARTITION BY key
+    ORDER BY ...) — the prefix-scan window operator.
+
+    ONE hash exchange routes every order of a customer to one partition;
+    inside, one sort + groupby-cumsum/cumcount (vectorized) computes the
+    running total and order sequence for all customers at once. Money in
+    exact integer cents so the scan is order-exact vs the SQL oracle.
+    Scale: the exchange moves (custkey, orderkey, date, cents) once;
+    per-partition memory is the partition's rows, never the table."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "o_orderkey": df["o_orderkey"],
+            "o_orderdate": df["o_orderdate"],
+            "cents": np.rint(df["o_totalprice"] * 100).astype("int64"),
+        })
+        out["_pkey"] = (out["o_custkey"] % num_parts).astype("int32")
+        return out
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        # (o_orderdate, o_orderkey) is unique per customer (orderkey is
+        # globally unique) so the scan order is deterministic
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        by_cust = g.groupby("o_custkey", sort=False)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "order_seq": (by_cust.cumcount() + 1).astype("int64"),
+            "running_cents": by_cust["cents"].cumsum().astype("int64"),
+        })
+
+    df = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+          .groupby("_pkey")
+          .map_groups(scan, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+Q_RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS running_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_rolling_event_value(sf_dir: str, num_parts: int = 64, frame: int = 3):
+    """Per-user sliding-frame sum over the ordered event log: SUM ... OVER
+    (... ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW).
+
+    Same ordered-log partitioning as the prefix scan; the frame sum is
+    cumsum(t) - cumsum(t - frame) via a grouped shift — two cython kernels,
+    no rolling-window Python loop. Integer cents keep it exact. Partial
+    frames at the head of each user's log fall out of the fillna(0)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"],
+            "event_id": df["event_id"],
+            "ts": df["ts"],
+            "cents": np.rint(df["value"] * 100).astype("int64"),
+        })
+        out["_pkey"] = (out["user_id"] % num_parts).astype("int32")
+        return out
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        # (ts, event_id) is unique (event_id globally unique) ⇒ deterministic
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cs = g.groupby("user_id", sort=False)["cents"].cumsum()
+        lag = (cs.groupby(g["user_id"], sort=False).shift(frame)
+               .fillna(0).astype("int64"))
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "roll_cents": (cs - lag).astype("int64"),
+        })
+
+    df = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+          .groupby("_pkey")
+          .map_groups(roll, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+Q_ROLLING_EVENT_VALUE_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# global-sort pagination: rows [offset, offset+limit) of a global ORDER BY
+# without sorting (or even shuffling) the table.
+
+
+def q_global_sort_page(sf_dir: str, offset: int = 2500, limit: int = 20,
+                       bin_shift: int = 12, select_cap: int = 250_000):
+    """Global ORDER BY ... LIMIT/OFFSET pagination in two streaming passes,
+    no full sort, no all-to-all exchange.
+
+    Pass 1 streams a mergeable sparse value-domain histogram of the sort key
+    (per-batch `np.unique` bincounts over cents >> bin_shift; sum-merge is
+    batching/parallelism-invariant). The merged counts locate the minimal
+    key range whose global ranks cover [offset, offset+limit). Pass 2
+    re-streams only rows inside that range (predicate applied at the scan),
+    sorts the survivor set exactly — ties broken by the unique
+    (l_orderkey, l_linenumber) — and slices the page using the exact count
+    of rows ranked strictly above the range.
+
+    Scale: pass 1 ships O(distinct bins per batch) int64 pairs, pass 2 ships
+    ~limit + O(bin width × density) rows; the corpus is never sorted,
+    shuffled, or materialized. Heavy key duplication fattens one bin — the
+    survivor count is asserted against select_cap so skew fails loudly (the
+    scale path is recursive refinement of the fat bin with a smaller
+    bin_shift, unnecessary at testdata key cardinality)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        bins, counts = np.unique(cents >> bin_shift, return_counts=True)
+        return pa.table({"bin": bins, "n": counts.astype(np.int64)})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow", batch_size=65536)
+         .to_pandas().groupby("bin", as_index=False)["n"].sum())
+    # descending price ⇒ descending bins; walk ranks top-down
+    h = h.sort_values("bin", ascending=False).reset_index(drop=True)
+    cum_before = h["n"].cumsum().shift(1, fill_value=0)
+    in_window = (cum_before < offset + limit) & (cum_before + h["n"] > offset)
+    sel = h[in_window]
+    if sel.empty:  # offset beyond the table
+        return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                             "l_linenumber": pd.Series([], dtype="int64"),
+                             "price_cents": pd.Series([], dtype="int64")})
+    rows_above = int(cum_before[sel.index[0]])
+    n_sel = int(sel["n"].sum())
+    if n_sel > select_cap:
+        raise ValueError(
+            f"rank window spans {n_sel} rows (> cap {select_cap}): sort key "
+            f"too duplicated at bin_shift={bin_shift}; refine the fat bin")
+    lo_bin, hi_bin = int(sel["bin"].min()), int(sel["bin"].max())
+    lo_c, hi_c = lo_bin << bin_shift, ((hi_bin + 1) << bin_shift) - 1
+
+    def pick(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                        pa.int64())
+        mask = pc.and_(pc.greater_equal(cents, pa.scalar(lo_c)),
+                       pc.less_equal(cents, pa.scalar(hi_c)))
+        return pa.table({
+            "l_orderkey": pc.filter(t["l_orderkey"], mask),
+            "l_linenumber": pc.filter(t["l_linenumber"], mask),
+            "price_cents": pc.filter(cents, mask),
+        })
+
+    page = (ds.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+            .to_pandas()
+            .sort_values(["price_cents", "l_orderkey", "l_linenumber"],
+                         ascending=[False, True, True])
+            .reset_index(drop=True))
+    lo, hi = offset - rows_above, offset - rows_above + limit
+    return page.iloc[lo:hi].reset_index(drop=True)
+
+
+Q_GLOBAL_SORT_PAGE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+ORDER BY price_cents DESC, l_orderkey, l_linenumber
+LIMIT 20 OFFSET 2500
+"""
+
+
 def _q_corpus_clean_stats(sf_dir: str):
     """Composed corpus-cleaning funnel (pipelines/corpus.py): features →
     exact dedup → near-dup removal → quality filter. Rows-only check (the
@@ -3564,6 +3756,9 @@ QUERIES = {
     "data_mixture": q_data_mixture,
     "full_outer_user_value": q_full_outer_user_value,
     "top_docs_per_source": q_top_docs_per_source,
+    "running_revenue": q_running_revenue,
+    "rolling_event_value": q_rolling_event_value,
+    "global_sort_page": q_global_sort_page,
     "image_embed_topk": q_image_embed_topk,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
@@ -3604,6 +3799,9 @@ ORACLE_SQL = {
     "data_mixture": Q_DATA_MIXTURE_SQL,
     "full_outer_user_value": Q_FULL_OUTER_SQL,
     "top_docs_per_source": Q_TOP_DOCS_PER_SOURCE_SQL,
+    "running_revenue": Q_RUNNING_REVENUE_SQL,
+    "rolling_event_value": Q_ROLLING_EVENT_VALUE_SQL,
+    "global_sort_page": Q_GLOBAL_SORT_PAGE_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }

@@ -162,6 +162,29 @@ def test_lsh_candidates_empty_and_singletons():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_global_sort_page_invariants():
+    """Pagination must be independent of the histogram resolution (any
+    deterministic binning locates the same rank window — pass 2 does the
+    exact sort), empty-with-stable-schema beyond the table, and loud when
+    key duplication fattens the selected range past the cap."""
+    from scraper_ray.pipelines.queries import q_global_sort_page
+
+    a = q_global_sort_page(SF_DIR, bin_shift=8)
+    b = q_global_sort_page(SF_DIR, bin_shift=16)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 20
+
+    empty = q_global_sort_page(SF_DIR, offset=10_000_000)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["l_orderkey", "l_linenumber",
+                                   "price_cents"]
+
+    # a cap below the window's survivor count must fail loudly, not truncate
+    with pytest.raises(ValueError, match="too duplicated"):
+        q_global_sort_page(SF_DIR, select_cap=3)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sequence_pack_invariants():
     """Greedy packing: all tokens conserved, no bin exceeds capacity except
     single-oversized-doc bins, bin ids stable across runs (determinism is
