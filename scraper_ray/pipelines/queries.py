@@ -3607,6 +3607,105 @@ ORDER BY user_id, event_id
 """
 
 
+def q_daily_active_users(sf_dir: str, num_parts: int = 64):
+    """Exact grouped COUNT(DISTINCT ...) — daily active users.
+
+    Two-stage distributed dedup: a per-batch (day, user) dedup inside
+    map_batches (the combiner — the exchange carries unique pairs per
+    batch, not events), ONE hash exchange on user_id (all pairs of a user
+    land in one partition, so a per-partition dedup is globally exact and
+    per-day partial counts are additive across partitions), then a tiny
+    day-level sum. At 100 TB the exchange moves ≤ distinct pairs and the
+    driver holds only day-cardinality rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return (pa.table({"day": day, "user_id": t["user_id"]})
+                .group_by(["day", "user_id"]).aggregate([]))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (df["user_id"] % num_parts).astype("int32")
+        return df
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["day", "user_id"])
+        return (u.groupby("day", as_index=False)["user_id"].count()
+                .rename(columns={"user_id": "dau"}))
+
+    parts = (ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+             .map_batches(tag, batch_format="pandas")
+             .groupby("_pkey")
+             .map_groups(count_part, batch_format="pandas")
+             .to_pandas())
+    df = parts.groupby("day", as_index=False)["dau"].sum()
+    df["dau"] = df["dau"].astype("int64")
+    df["day"] = df["day"].astype("datetime64[us]")  # floor_temporal is [s]
+    return df.sort_values("day").reset_index(drop=True)
+
+
+Q_DAU_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY date_trunc('day', ts) ORDER BY day
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): hierarchical aggregates derived by
+    REUSING the finest level's result — the table is scanned once; the
+    (priority, status) aggregate (cardinality = group count, tiny)
+    re-aggregates to (priority, ALL) and (ALL, ALL) without touching data
+    again. The sentinel 'ALL' stands in for the oracle's ROLLUP NULLs
+    (safe: it collides with no real priority/status value)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        g = (pa.table({"prio": t["o_orderpriority"],
+                       "status": t["o_orderstatus"], "cents": cents})
+             .group_by(["prio", "status"])
+             .aggregate([("cents", "sum"),
+                         ("cents", "count", pc.CountOptions(mode="all"))]))
+        return pa.table({"prio": g["prio"], "status": g["status"],
+                         "revenue_cents": g["cents_sum"],
+                         "n_orders": g["cents_count"]})
+
+    fine = _hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["prio", "status"],
+        {"revenue_cents": ("revenue_cents", "sum"),
+         "n_orders": ("n_orders", "sum")},
+    ).to_pandas()
+    lvl1 = fine.groupby("prio", as_index=False)[
+        ["revenue_cents", "n_orders"]].sum()
+    lvl1["status"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "prio": ["ALL"], "status": ["ALL"],
+        "revenue_cents": [fine["revenue_cents"].sum()],
+        "n_orders": [fine["n_orders"].sum()],
+    })
+    cols = ["prio", "status", "revenue_cents", "n_orders"]
+    out = pd.concat([fine[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["prio", "status"]).reset_index(drop=True)
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY prio, status
+"""
+
+
 # ---------------------------------------------------------------------------
 # global-sort pagination: rows [offset, offset+limit) of a global ORDER BY
 # without sorting (or even shuffling) the table.
@@ -3759,6 +3858,8 @@ QUERIES = {
     "running_revenue": q_running_revenue,
     "rolling_event_value": q_rolling_event_value,
     "global_sort_page": q_global_sort_page,
+    "daily_active_users": q_daily_active_users,
+    "rollup_revenue": q_rollup_revenue,
     "image_embed_topk": q_image_embed_topk,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
@@ -3802,6 +3903,8 @@ ORACLE_SQL = {
     "running_revenue": Q_RUNNING_REVENUE_SQL,
     "rolling_event_value": Q_ROLLING_EVENT_VALUE_SQL,
     "global_sort_page": Q_GLOBAL_SORT_PAGE_SQL,
+    "daily_active_users": Q_DAU_SQL,
+    "rollup_revenue": Q_ROLLUP_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
