@@ -84,6 +84,12 @@ EXTENDED_QUERIES = [
     "top_docs_per_source",
     "embedding_centroids_fixed",
     "image_embed_topk",
+    "running_revenue",
+    "rolling_event_value",
+    "global_sort_page",
+    "daily_active_users",
+    "rollup_revenue",
+    "incremental_dedup",
 ]
 
 

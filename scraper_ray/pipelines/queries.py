@@ -1310,6 +1310,56 @@ def q_dedup_exact(sf_dir: str):
 Q_DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def q_incremental_dedup(sf_dir: str, mod: int = 4):
+    """Incremental dedup — the recurring corpus-refresh shape: new arrivals
+    (doc_id % mod == 0 stands in for "this round's crawl") are kept only if
+    their content hash appears in neither the existing snapshot (the other
+    rows) nor earlier in the arrivals (keep-first by doc_id).
+
+    One conditional aggregate does both checks: per 128-bit content hash,
+    count snapshot members (n_old, sum-mergeable) and take the min arrival
+    doc_id (new_min, min-mergeable with an int64-max sentinel) — per-batch
+    partials then ONE hash exchange, like every mergeable aggregate here.
+    The exchange moves 24-byte hash rows, never text; in a real deployment
+    the snapshot side's hashes come precomputed from the archive index, so
+    only the new data is ever hashed."""
+    from ..functions.hashing import hash64_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sentinel = np.iinfo(np.int64).max
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        did = df["doc_id"].astype("int64").to_numpy()
+        is_new = (did % mod) == 0
+        tmp = pd.DataFrame({
+            "h1": hash64_batch(texts).view(np.int64),
+            "h2": hash64_batch(["dedup2::" + x for x in texts]).view(np.int64),
+            "n_old": (~is_new).astype("int64"),
+            "new_min": np.where(is_new, did, sentinel),
+        })
+        return tmp.groupby(["h1", "h2"], as_index=False).agg(
+            n_old=("n_old", "sum"), new_min=("new_min", "min"))
+
+    out = _hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["h1", "h2"],
+        {"n_old": ("n_old", "sum"), "new_min": ("new_min", "min")},
+    ).to_pandas()
+    keep = out[(out["n_old"] == 0) & (out["new_min"] != sentinel)]
+    return (pd.DataFrame({"doc_id": keep["new_min"].astype("int64")})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+Q_INCREMENTAL_DEDUP_SQL = """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+     old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0)
+SELECT min(doc_id) AS doc_id FROM newd
+WHERE text NOT IN (SELECT text FROM old)
+GROUP BY text ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11. token statistics per source (whitespace tokenizer, SQL-matched)
 
@@ -3817,6 +3867,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "source_blacklist": q_source_blacklist,
     "dedup_exact": q_dedup_exact,
+    "incremental_dedup": q_incremental_dedup,
     "token_stats": q_token_stats,
     "bpe_pretoken_stats": q_bpe_pretoken_stats,
     "ann_topk": q_ann_topk,
@@ -3881,6 +3932,7 @@ ORACLE_SQL = {
     "sessionize": Q_SESSIONIZE_SQL,
     "source_blacklist": Q_SOURCE_BLACKLIST_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "incremental_dedup": Q_INCREMENTAL_DEDUP_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
     "bpe_pretoken_stats": Q_BPE_PRETOKEN_SQL,
     "ann_topk": Q_ANN_SQL,
