@@ -90,6 +90,7 @@ EXTENDED_QUERIES = [
     "daily_active_users",
     "rollup_revenue",
     "incremental_dedup",
+    "json_extract_stats",
 ]
 
 

@@ -3657,6 +3657,50 @@ ORDER BY user_id, event_id
 """
 
 
+def q_json_extract_stats(sf_dir: str):
+    """Semi-structured extraction over the JSON ``props`` column: pull the
+    int field with ONE vectorized RE2 kernel (pyarrow ``extract_regex`` ≡
+    DuckDB ``regexp_extract`` — both RE2, so the extraction itself is
+    oracle-checked), then per-batch partial groupby + one tiny exchange.
+
+    A general JSON parser per row is a Python-loop trap in a hot stage;
+    for fixed-path field extraction the compiled-regex kernel is the
+    vectorized scale path (the common case for event-log props)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k": (?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "k": k})
+             .group_by(["event_type"])
+             .aggregate([("k", "sum"), ("k", "max"),
+                         ("k", "count", pc.CountOptions(mode="all"))]))
+        return pa.table({"event_type": g["event_type"], "sum_k": g["k_sum"],
+                         "max_k": g["k_max"], "n_events": g["k_count"]})
+
+    out = _hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        {"sum_k": ("sum_k", "sum"), "max_k": ("max_k", "max"),
+         "n_events": ("n_events", "sum")},
+    ).to_pandas()
+    for c in ("sum_k", "max_k", "n_events"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_type", "sum_k", "max_k", "n_events"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q_JSON_EXTRACT_SQL = r"""
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_daily_active_users(sf_dir: str, num_parts: int = 64):
     """Exact grouped COUNT(DISTINCT ...) — daily active users.
 
@@ -3911,6 +3955,7 @@ QUERIES = {
     "global_sort_page": q_global_sort_page,
     "daily_active_users": q_daily_active_users,
     "rollup_revenue": q_rollup_revenue,
+    "json_extract_stats": q_json_extract_stats,
     "image_embed_topk": q_image_embed_topk,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
@@ -3957,6 +4002,7 @@ ORACLE_SQL = {
     "global_sort_page": Q_GLOBAL_SORT_PAGE_SQL,
     "daily_active_users": Q_DAU_SQL,
     "rollup_revenue": Q_ROLLUP_SQL,
+    "json_extract_stats": Q_JSON_EXTRACT_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }
