@@ -3629,8 +3629,11 @@ def q_rolling_event_value(sf_dir: str, num_parts: int = 64, frame: int = 3):
         return out
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        # (ts, event_id) is unique (event_id globally unique) ⇒ deterministic
-        g = g.sort_values(["user_id", "ts", "event_id"])
+        # (ts, event_id) is unique (event_id globally unique) ⇒ deterministic.
+        # reset_index: the grouped shift below groups a Series BY a Series,
+        # which pandas aligns on index labels — keep them unique/canonical
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
         cs = g.groupby("user_id", sort=False)["cents"].cumsum()
         lag = (cs.groupby(g["user_id"], sort=False).shift(frame)
                .fillna(0).astype("int64"))
