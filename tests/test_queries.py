@@ -162,6 +162,21 @@ def test_lsh_candidates_empty_and_singletons():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_window_scans_partitioning_invariant():
+    """The ordered-window scans and the grouped count-distinct must return
+    identical frames at any partition count — the per-partition kernels are
+    exact, so only the key-routing changes with num_parts."""
+    from scraper_ray.pipelines.queries import (
+        q_daily_active_users, q_rolling_event_value, q_running_revenue,
+    )
+
+    for q in (q_running_revenue, q_rolling_event_value,
+              q_daily_active_users):
+        pd.testing.assert_frame_equal(q(SF_DIR, num_parts=3),
+                                      q(SF_DIR, num_parts=64))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_global_sort_page_invariants():
     """Pagination must be independent of the histogram resolution (any
     deterministic binning locates the same rank window — pass 2 does the
