@@ -3022,7 +3022,7 @@ def q_embedding_centroids_fixed(sf_dir: str, num_parts: int = 16):
 
 
 Q_EMB_CENTROIDS_FIXED_SQL = """
-SELECT label, CAST(s.i - 1 AS BIGINT) AS dim,
+SELECT CAST(label AS BIGINT) AS label, CAST(s.i - 1 AS BIGINT) AS dim,
        CAST(sum(CAST(round(CAST(embedding[CAST(s.i AS INTEGER)] AS DOUBLE)
                            * 1000000) AS BIGINT)) AS BIGINT) AS sum_fixed,
        count(*) AS n

@@ -42,11 +42,10 @@ def test_query_matches_oracle(name):
         g, e = got[c], exp[c]
         # the external driver hashes the raw value representation, so a
         # float64 2.8e9 vs int64 2816... mismatch fails there even when the
-        # values are equal — require dtype-kind agreement locally too
-        assert g.dtype.kind == e.dtype.kind, (c, g.dtype, e.dtype)
-        if g.dtype.kind == "M":
-            # datetime: driver hashing is precision-sensitive
-            assert g.dtype == e.dtype, (c, g.dtype, e.dtype)
+        # values are equal — require EXACT dtype agreement locally (int32
+        # vs int64 slipped through a kind-only check once; every query
+        # already passes strict .equals at sf0.01, so exact is free)
+        assert g.dtype == e.dtype, (c, g.dtype, e.dtype)
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             assert (g.astype(float) - e.astype(float)).abs().max() <= 1e-9, c
         else:
