@@ -81,6 +81,32 @@ def _hash_aggregate(ds, keys, agg_spec, num_parts: int = 64):
 
 
 # ---------------------------------------------------------------------------
+# fixed-point money/value conversion — ONE convention for every
+# oracle-twinned query: round-half-AWAY-from-zero, matching DuckDB
+# ``round()``. np.rint / default pc.round are half-to-EVEN, which silently
+# diverges from the oracle on any exact half (0.125·100 = 12.5 exactly in
+# float64); current fixtures happen to contain none, but the convention
+# must not depend on that.
+
+_PC_HALF_AWAY = pc.RoundOptions(ndigits=0, round_mode="half_towards_infinity")
+
+
+def _fixed_pc(arr, scale: int) -> pa.ChunkedArray:
+    """Arrow path: float column × ``scale`` → int64, half-away (zero-copy
+    pc kernels; ``half_towards_infinity`` ≡ half away from zero)."""
+    return pc.cast(pc.round(pc.multiply(arr, scale), options=_PC_HALF_AWAY),
+                   pa.int64())
+
+
+def _fixed_np(x, scale: int = 1) -> np.ndarray:
+    """numpy/pandas path, same convention (floor(x+.5) / ceil(x-.5) — the
+    repo-wide kernel; fp-ulp edge behaviour matches the other call sites)."""
+    x = np.asarray(x, dtype=np.float64) * scale
+    return np.where(x >= 0.0, np.floor(x + 0.5),
+                    np.ceil(x - 0.5)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # 1. grouped aggregation with partial pre-aggregation (reference A1 funnel-
 #    count style sums, at TPC-H q1 shape)
 
@@ -93,14 +119,11 @@ def q_pricing_summary(sf_dir: str):
     # order-independent and matches the SQL oracle bit-for-bit — float sums of
     # ~1e9 magnitudes differ at the 1e-2 level depending on reduction order.
     # Pure-Arrow partial (pc kernels + TableGroupBy): no pandas conversion —
-    # measured ~30% faster than the pandas path on this stage. pc.round is
-    # half-to-even, same as np.rint.
+    # measured ~30% faster than the pandas path on this stage.
     def partial(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
-                          pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
-                         pa.int64())
-        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        price_c = _fixed_pc(t["l_extendedprice"], 100)
+        disc_c = _fixed_pc(t["l_discount"], 100)
+        qty = _fixed_pc(t["l_quantity"], 1)
         rev = pc.multiply(price_c,
                           pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         tt = pa.table({
@@ -302,10 +325,8 @@ def q_priority_revenue(sf_dir: str, num_buckets: int = 16):
 
     def li_partial(t: pa.Table) -> pa.Table:
         # pure-Arrow: per-batch partial sum per orderkey, no pandas hop
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
-                          pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
-                         pa.int64())
+        price_c = _fixed_pc(t["l_extendedprice"], 100)
+        disc_c = _fixed_pc(t["l_discount"], 100)
         rev = pc.multiply(price_c,
                           pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         g = (pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
@@ -377,10 +398,8 @@ def q_promo_revenue(sf_dir: str, num_buckets: int = 16):
                ["l_partkey", "l_extendedprice", "l_discount"])
 
     def li_partial(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
-                          pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
-                         pa.int64())
+        price_c = _fixed_pc(t["l_extendedprice"], 100)
+        disc_c = _fixed_pc(t["l_discount"], 100)
         rev = pc.multiply(price_c,
                           pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         g = (pa.table({"l_partkey": t["l_partkey"], "revenue_c4": rev})
@@ -588,8 +607,8 @@ def q_regional_revenue(sf_dir: str, region_name: str = "ASIA",
 
     def li_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        price_c = np.rint(df["l_extendedprice"] * 100).astype("int64")
-        disc_c = np.rint(df["l_discount"] * 100).astype("int64")
+        price_c = _fixed_np(df["l_extendedprice"], 100)
+        disc_c = _fixed_np(df["l_discount"], 100)
         df["revenue_c4"] = price_c * (100 - disc_c)
         g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["revenue_c4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -810,7 +829,7 @@ def q_events_daily(sf_dir: str):
         # pure-Arrow partial; exact integer milli-units so the sum is
         # order-independent (see q1)
         day = pc.floor_temporal(t["ts"], unit="day")
-        vm = pc.cast(pc.round(pc.multiply(t["value"], 1000)), pa.int64())
+        vm = _fixed_pc(t["value"], 1000)
         g = (pa.table({"user_id": t["user_id"], "day": day, "value_milli": vm})
              .group_by(["user_id", "day"])
              .aggregate([("value_milli", "count", pc.CountOptions(mode="all")),
@@ -854,7 +873,7 @@ def q_hopping_window(sf_dir: str, window_days: int = 7):
         day = pc.floor_temporal(t["ts"], unit="day")
         df = pa.table({"user_id": t["user_id"], "day": day,
                        "value": t["value"]}).to_pandas()
-        df["value_milli"] = np.rint(df["value"] * 1000).astype("int64")
+        df["value_milli"] = _fixed_np(df["value"], 1000)
         g = df.groupby(["user_id", "day"], as_index=False).agg(
             n_events=("value_milli", "size"),
             sum_value_milli=("value_milli", "sum"))
@@ -2485,7 +2504,7 @@ def q_multimodal_image_stats(sf_dir: str):
     def to_stats(t: pa.Table) -> pa.Table:
         ok = pc.cast(t["decode_ok"], pa.int64())
         phash_match = pc.cast(pc.equal(t["phash"], t["phash_computed"]), pa.int64())
-        lum_milli = pc.cast(pc.round(pc.multiply(t["mean_luminance"], 1000)), pa.int64())
+        lum_milli = _fixed_pc(t["mean_luminance"], 1000)
         return pa.table({
             "fmt": t["fmt"], "decoded": ok, "phash_match": phash_match,
             "lum_milli": lum_milli,
@@ -2657,8 +2676,8 @@ def q_distinct_orders_exact(sf_dir: str, num_parts: int = 64):
     def uniq(t: pa.Table) -> pa.Table:
         u = np.unique(
             t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64))
-        pk = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(58)).astype(np.int32)
+        pk = (((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(32)) % np.uint64(num_parts)).astype(np.int32)
         return pa.table({"k": pa.array(u), "_pkey": pa.array(pk)})
 
     def nuniq(df: pd.DataFrame) -> pd.DataFrame:
@@ -2939,8 +2958,8 @@ def q_embedding_centroids(sf_dir: str, num_parts: int = 16):
 
     def tag(t: pa.Table) -> pa.Table:
         lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = ((lab.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(60)).astype(np.int32)
+        pk = (((lab.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(32)) % np.uint64(num_parts)).astype(np.int32)
         return t.append_column("_pkey", pa.array(pk))
 
     def centroids(g: pd.DataFrame) -> pd.DataFrame:
@@ -2991,11 +3010,7 @@ def q_embedding_centroids_fixed(sf_dir: str, num_parts: int = 16):
                 f"embedding dim {emb.shape[1]} != 64: the oracle SQL's "
                 "range(1, 65) literal is pinned to the testdata dim — "
                 "update both together")
-        x = emb * 1e6
-        # round half away from zero — DuckDB's round(); np.round would
-        # bank-round halves the other way
-        fx = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
-            .astype(np.int64)
+        fx = _fixed_np(emb, 1_000_000).reshape(emb.shape)
         df = pd.DataFrame(fx)
         df["label"] = t["label"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -3090,7 +3105,6 @@ def q_host_pagerank(sf_dir: str):
     hash-partitioned rank state; pinned to a dense numpy oracle at 1e-10
     in tests). Rows-only (iterative + not SQL-expressible). Returns
     (host, rank) summing to 1."""
-    import os
     import shutil
     import tempfile
 
@@ -3098,16 +3112,21 @@ def q_host_pagerank(sf_dir: str):
     from .rank import host_edges_from_crawl, pagerank
     from ..sources.fixtures import build_images_table
 
-    out_dir = os.path.join(tempfile.gettempdir(), "scraper_ray_rank_q")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = CrawlConfig(
-        out_dir=out_dir, num_parts=4, max_rounds=5, n_hosts=12,
-        max_degree=6, n_images=24, html=False, rate=5.0, burst=8.0,
-        fetch_concurrency=2,
-    )
-    run_crawl(cfg, build_images_table(24, captions=_head_texts(sf_dir, 24)))
-    edges = host_edges_from_crawl(out_dir, cfg.web_dict())
-    return pagerank(edges, num_parts=4)
+    # mkdtemp per invocation: a fixed shared path raced when two runs
+    # (e.g. overlapping bench + test sessions) crawled concurrently
+    out_dir = tempfile.mkdtemp(prefix="scraper_ray_rank_q_")
+    try:
+        cfg = CrawlConfig(
+            out_dir=out_dir, num_parts=4, max_rounds=5, n_hosts=12,
+            max_degree=6, n_images=24, html=False, rate=5.0, burst=8.0,
+            fetch_concurrency=2,
+        )
+        run_crawl(cfg,
+                  build_images_table(24, captions=_head_texts(sf_dir, 24)))
+        edges = host_edges_from_crawl(out_dir, cfg.web_dict())
+        return pagerank(edges, num_parts=4)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def image_phash_pairs(images: pa.Table, max_hamming: int = 3) -> pd.DataFrame:
@@ -3203,12 +3222,7 @@ def q_full_outer_user_value(sf_dir: str, min_value: float = 90.0,
                      value_set=pa.array(["click", "purchase"])),
             pc.greater(t["value"], min_value))
         t = t.filter(keep)
-        # half-away-from-zero like DuckDB round(); pc.round banker-rounds
-        # exact half cents the other way (no halves in today's fixtures,
-        # but the convention must not depend on that)
-        x = t["value"].to_numpy(zero_copy_only=False) * 100.0
-        c = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
-            .astype(np.int64)
+        c = _fixed_np(t["value"].to_numpy(zero_copy_only=False), 100)
         is_click = pc.equal(t["event_type"], "click").to_numpy(
             zero_copy_only=False)
         df = pd.DataFrame({
@@ -3573,7 +3587,7 @@ def q_running_revenue(sf_dir: str, num_parts: int = 64):
             "o_custkey": df["o_custkey"],
             "o_orderkey": df["o_orderkey"],
             "o_orderdate": df["o_orderdate"],
-            "cents": np.rint(df["o_totalprice"] * 100).astype("int64"),
+            "cents": _fixed_np(df["o_totalprice"], 100),
         })
         out["_pkey"] = (out["o_custkey"] % num_parts).astype("int32")
         return out
@@ -3623,7 +3637,7 @@ def q_rolling_event_value(sf_dir: str, num_parts: int = 64, frame: int = 3):
             "user_id": df["user_id"],
             "event_id": df["event_id"],
             "ts": df["ts"],
-            "cents": np.rint(df["value"] * 100).astype("int64"),
+            "cents": _fixed_np(df["value"], 100),
         })
         out["_pkey"] = (out["user_id"] % num_parts).astype("int32")
         return out
@@ -3760,8 +3774,7 @@ def q_rollup_revenue(sf_dir: str):
                ["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
-                        pa.int64())
+        cents = _fixed_pc(t["o_totalprice"], 100)
         g = (pa.table({"prio": t["o_orderpriority"],
                        "status": t["o_orderstatus"], "cents": cents})
              .group_by(["prio", "status"])
@@ -3832,8 +3845,8 @@ def q_global_sort_page(sf_dir: str, offset: int = 2500, limit: int = 20,
                ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def hist(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
-                        pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _fixed_pc(t["l_extendedprice"], 100).to_numpy(
+            zero_copy_only=False)
         bins, counts = np.unique(cents >> bin_shift, return_counts=True)
         return pa.table({"bin": bins, "n": counts.astype(np.int64)})
 
@@ -3858,8 +3871,7 @@ def q_global_sort_page(sf_dir: str, offset: int = 2500, limit: int = 20,
     lo_c, hi_c = lo_bin << bin_shift, ((hi_bin + 1) << bin_shift) - 1
 
     def pick(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
-                        pa.int64())
+        cents = _fixed_pc(t["l_extendedprice"], 100)
         mask = pc.and_(pc.greater_equal(cents, pa.scalar(lo_c)),
                        pc.less_equal(cents, pa.scalar(hi_c)))
         return pa.table({
@@ -3898,7 +3910,13 @@ def _q_corpus_clean_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 # registry
 
+# ORDERING CONTRACT: every ORACLE_SQL-twinned entry comes FIRST — the
+# external driver's correctness sweep records only the first 50 keys, so
+# all 42 hash-checkable queries must fall inside that window; the 20
+# rows-only entries fill the tail (enforced by
+# tests/test_queries.py::test_sql_twins_precede_rows_only).
 QUERIES = {
+    # --- 42 SQL-twinned (hash-checked against the DuckDB oracle) ---
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_building_orders,
     "priority_revenue_join": q_priority_revenue,
@@ -3918,37 +3936,19 @@ QUERIES = {
     "token_stats": q_token_stats,
     "bpe_pretoken_stats": q_bpe_pretoken_stats,
     "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
-    "ann_pq": q_ann_pq,
-    "multimodal_image_stats": q_multimodal_image_stats,
-    "image_phash_dups": q_image_phash_dups,
-    "distinct_orders_hll": q_distinct_orders_hll,
     "distinct_orders_exact": q_distinct_orders_exact,
     "token_quantiles_exact": q_token_quantiles_exact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "range_join_clicks": q_range_join_clicks,
     "grouped_token_quantiles": q_grouped_token_quantiles,
-    "embedding_centroids": q_embedding_centroids,
     "embedding_centroids_fixed": q_embedding_centroids_fixed,
-    "host_pagerank": q_host_pagerank,
     "stratified_sample": q_stratified_sample,
-    "heavy_hitter_users": q_heavy_hitter_users,
     "heavy_hitter_users_exact": q_heavy_hitter_users_exact,
-    "token_quantiles": q_token_quantiles,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dup_clusters": q_embedding_dup_clusters,
-    "minhash_dup_clusters": q_minhash_dup_clusters,
-    "minhash_near_dup": q_minhash_near_dup,
-    "lsh_overflow_audit": q_lsh_overflow_audit,
-    "simhash_dups": q_simhash_dups,
-    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "asof_last_click": q_asof_last_click,
     "union_distinct": q_union_distinct,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "fingerprints": q_fingerprints,
     "stratified_split": q_stratified_split,
-    "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "data_mixture": q_data_mixture,
     "full_outer_user_value": q_full_outer_user_value,
@@ -3959,7 +3959,26 @@ QUERIES = {
     "daily_active_users": q_daily_active_users,
     "rollup_revenue": q_rollup_revenue,
     "json_extract_stats": q_json_extract_stats,
+    # --- 20 rows-only (no SQL-expressible oracle; driver checks rows) ---
+    "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "image_phash_dups": q_image_phash_dups,
     "image_embed_topk": q_image_embed_topk,
+    "distinct_orders_hll": q_distinct_orders_hll,
+    "embedding_centroids": q_embedding_centroids,
+    "host_pagerank": q_host_pagerank,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "token_quantiles": q_token_quantiles,
+    "minhash_dup_clusters": q_minhash_dup_clusters,
+    "minhash_near_dup": q_minhash_near_dup,
+    "lsh_overflow_audit": q_lsh_overflow_audit,
+    "simhash_dups": q_simhash_dups,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "sequence_pack": q_sequence_pack,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
 

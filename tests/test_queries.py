@@ -30,6 +30,20 @@ def _norm(df) -> pd.DataFrame:
     return df
 
 
+def test_sql_twins_precede_rows_only():
+    """ORDERING CONTRACT: the external driver records only the FIRST 50
+    queries() keys in its correctness sweep — every ORACLE_SQL-twinned
+    entry must therefore precede every rows-only entry (r4 verdict: 10
+    SQL twins past position 50 got no external-oracle row at all)."""
+    keys = list(entrymod.queries())
+    twins = set(entrymod.oracle_sql())
+    assert twins <= set(keys)
+    assert set(keys[: len(twins)]) == twins, [
+        k for k in keys[: len(twins)] if k not in twins
+    ]
+    assert len(twins) <= 50
+
+
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
 def test_query_matches_oracle(name):
