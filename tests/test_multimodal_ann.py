@@ -123,7 +123,9 @@ def test_ann_ivf_recall_vs_brute_force():
         truth = set(grp["neighbor_id"])
         got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
         recalls.append(len(truth & got) / len(truth))
-    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4/16 lists on random data
+    # multi-assignment (n_assign=2) defaults: measured 0.88 here (sf0.001)
+    # and 0.76 at sf0.01 at a 0.5 scan fraction — the r4-verdict bar is 0.7
+    assert np.mean(recalls) >= 0.7, recalls
 
 @pytest.mark.usefixtures("ray_session")
 def test_image_embed_topk_matches_numpy_and_finds_reencodes():
