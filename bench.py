@@ -94,7 +94,8 @@ EXTENDED_QUERIES = [
 ]
 
 
-def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
+def run_crawl_bench(num_cpus: int, html: bool = False,
+                    retry: bool = False) -> dict:
     from scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
     from scraper_ray.sources.fixtures import cached_images_table, seed_urls
 
@@ -112,6 +113,13 @@ def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
         # parse pipeline, the direct sample already covers decode+PSNR);
         # page graph is identical (parity-pinned), only throughput differs
         kw.update(html=True, verify_decode=False)
+    if retry:
+        # failure-mode sample (VERDICT r4 item 5): 1/5 of fetch attempts
+        # fail transiently (attempt-salted, so retries are independent);
+        # retry_limit=2 exercises StateShard.reinsert + the requeue path
+        # under load — measures what bounded retry costs when it is BUSY,
+        # complementing the idle-machinery sample of r4
+        kw.update(fail_mod=5, retry_limit=2)
     cfg = CrawlConfig(
         out_dir=out_dir,
         seeds=seed_urls(CRAWL_KW["n_hosts"]),
@@ -122,6 +130,7 @@ def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
         **kw,
     )
     res = run_crawl(cfg, images)
+    retried = int(res.get("retried_total", 0))
     # steady-state throughput: exclude the first two ramp-up waves
     # (BASELINE.md protocol: warm-up excluded, >=3 timed waves)
     steady = [m for m in res["metrics"] if m["round"] >= 2]
@@ -136,6 +145,7 @@ def run_crawl_bench(num_cpus: int, html: bool = False) -> dict:
         "fetched_per_sec": round(steady_pages / steady_sec, 1) if steady_sec else 0.0,
         "inserts_per_sec": round(steady_inserts / steady_sec, 1) if steady_sec else 0.0,
         "fetched_per_sec_total": round(res["fetched_per_sec"], 1),
+        **({"retried_total": retried} if retry else {}),
     }
 
 
@@ -207,6 +217,43 @@ def run_queries_pinned(sf_dir: str) -> dict:
                 "pinned_cores": 0}
 
 
+def run_retry_pinned() -> dict:
+    """Retry-mode crawl (fail_mod=5, retry_limit=2) in fresh taskset-pinned
+    subprocesses on the 16 quietest cores, best-of-2 with per-sample steal
+    (VERDICT r4 item 5: the retry machinery was only ever measured idle —
+    this sample measures it busy, in a window whose steal is recorded)."""
+    samples: list[dict] = []
+    best = None
+    for _ in range(2):
+        cores = ",".join(str(c) for c in _quiet_cores(QUERY_PIN_CORES))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(QUERY_PIN_CORES),
+                   GRAFT_SF_DIR=SF_DIR)
+        s0 = _read_steal()
+        try:
+            out = subprocess.run(
+                ["taskset", "-c", cores, sys.executable, __file__,
+                 "--crawl-only", "--retry"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            rec = json.loads(out.strip().splitlines()[-1])["crawl"]
+            rec["pinned_cores"] = QUERY_PIN_CORES
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                json.JSONDecodeError, IndexError, KeyError) as e:
+            err = getattr(e, "stderr", "") or ""
+            print(f"pinned retry bench failed ({type(e).__name__}); "
+                  f"falling back to unpinned in-process run\n{err[-2000:]}",
+                  file=sys.stderr)
+            rec = run_crawl_bench(NUM_CPUS, retry=True)
+            rec["pinned_cores"] = 0
+        rec["steal_jiffies"] = _read_steal() - s0
+        samples.append({"fetched_per_sec": rec["fetched_per_sec"],
+                        "steal_jiffies": rec["steal_jiffies"]})
+        if best is None or rec["fetched_per_sec"] > best["fetched_per_sec"]:
+            best = rec
+    best["samples"] = samples
+    return best
+
+
 def queries_only() -> None:
     import ray
 
@@ -266,6 +313,7 @@ def main() -> None:
         {"fetched_per_sec": r["fetched_per_sec"],
          "steal_jiffies": r["steal_jiffies"]} for r in html_samples
     ]
+    crawl_retry = run_retry_pinned()
     qrec = run_queries_pinned(SF_DIR)
     queries = qrec["queries"]
     total = crawl["elapsed_sec"] + sum(queries.values())
@@ -283,6 +331,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "crawl": crawl,
                 "crawl_html": crawl_html,
+                "crawl_retry": crawl_retry,
             }
         )
     )
@@ -428,7 +477,7 @@ def crawl_only() -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    crawl = run_crawl_bench(NUM_CPUS)
+    crawl = run_crawl_bench(NUM_CPUS, retry="--retry" in sys.argv)
     print(json.dumps({"crawl": crawl, "num_cpus": NUM_CPUS}))
     ray.shutdown()
 
