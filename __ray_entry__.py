@@ -24,8 +24,18 @@ def entry() -> Any:
     engine runs end-to-end (drain → fetch/decode actor pool → archive append
     → canonicalize/filter → sharded seen-set anti-join → frontier insert →
     checkpoint) and the archived image+caption rows are returned as a
-    ``ray.data.Dataset``.
+    ``ray.data.Dataset`` with each row's ROUND-LEVEL FUNNEL METRICS
+    attached from the metrics sink (reference K5), so the external smoke
+    check exercises the archive AND metrics outputs in one stable schema:
+
+        image_id:string, w:int32, h:int32, fmt:string, caption:string,
+        phash:int64, url:string, host:string, round:int64(partition),
+        round_pages:int64, round_errors:int64, round_submitted:int64
+
+    (``bytes`` is dropped — payloads stay in the archive files.)
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
@@ -50,8 +60,29 @@ def entry() -> Any:
         fetch_concurrency=2,
     )
     run_crawl(cfg, images)
+
+    # K5 metrics sink → tiny per-round dict, broadcast by closure capture
+    funnel = {
+        int(r["round"]): (int(r["pages"]), int(r["errors"]),
+                          int(r["submitted_links"]))
+        for r in pq.read_table(
+            os.path.join(out_dir, "metrics.parquet"),
+            columns=["round", "pages", "errors", "submitted_links"]
+        ).to_pylist()
+    }
+
+    def attach_funnel(t: pa.Table) -> pa.Table:
+        rounds = [int(r) for r in t["round"].to_pylist()]
+        cols = list(zip(*(funnel[r] for r in rounds))) if rounds \
+            else ([], [], [])
+        return (t.append_column("round_pages", pa.array(cols[0], pa.int64()))
+                .append_column("round_errors", pa.array(cols[1], pa.int64()))
+                .append_column("round_submitted",
+                               pa.array(cols[2], pa.int64())))
+
     archive = rd.read_parquet(os.path.join(out_dir, "archive"))
-    return archive.drop_columns(["bytes"])  # stable, driver-friendly schema
+    return (archive.drop_columns(["bytes"])  # stable, driver-friendly schema
+            .map_batches(attach_funnel, batch_format="pyarrow"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

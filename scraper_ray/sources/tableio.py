@@ -84,13 +84,12 @@ def compact_dataset(path: str, out_path: str, num_parts: int = 16,
     fragments are left untouched — the caller swaps directories once the
     returned ``rows_written == rows_source``; row-count equality is also
     asserted here.
+
+    Single-writer: an O_EXCL ``compact.lock`` sentinel (holder pid inside)
+    is taken before anything is written — a second concurrent invocation
+    on the same out_path FAILS LOUDLY instead of interleaving fragment
+    writes; a lock left by a crashed run (dead pid) is reclaimed.
     """
-    import json
-
-    import numpy as np
-
-    from ..functions.hashing import hash64_batch
-
     # source row count from fragment metadata only (no payload read)
     frags = sorted(
         os.path.join(path, d, f)
@@ -106,6 +105,53 @@ def compact_dataset(path: str, out_path: str, num_parts: int = 16,
     n_source = sum(pq.ParquetFile(f).metadata.num_rows for f in frags)
 
     os.makedirs(out_path, exist_ok=True)
+    lock_path = os.path.join(out_path, "compact.lock")
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(lock_path) as f:
+                    holder = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive:
+                raise RuntimeError(
+                    f"compaction already running on {out_path} (pid "
+                    f"{holder} holds {lock_path}); a concurrent second "
+                    f"writer would interleave fragment writes — wait for "
+                    f"it or use a fresh out_path")
+            os.unlink(lock_path)  # stale lock from a crashed run — retry
+
+    try:
+        return _compact_locked(out_path, num_parts, key, frags, n_source)
+    finally:
+        try:
+            os.unlink(lock_path)
+        except OSError:
+            pass
+
+
+def _compact_locked(out_path: str, num_parts: int, key: str,
+                    frags: list, n_source: int) -> dict:
+    import json
+
+    import numpy as np
+
+    from ..functions.hashing import hash64_batch
+
     cfg = {"num_parts": num_parts, "key": key, "source_rows": n_source,
            "source_fragments": len(frags)}
     man_path = os.path.join(out_path, "compact_manifest.json")

@@ -250,15 +250,20 @@ def test_lang_id_detector_on_real_text():
 @pytest.mark.usefixtures("ray_session")
 def test_entry_smoke():
     out = entrymod.entry()
-    import pandas as pd_
     import ray.data
 
     if isinstance(out, ray.data.Dataset):
-        n = out.count()
         assert out.schema() is not None
-    else:
-        n = len(out)
+        out = out.to_pandas()
+    n = len(out)
     assert n >= 0
+    # K5 funnel columns ride every archive row; per-round identity
+    # archive_rows == pages - errors (retry_limit=0 in entry's config)
+    per_round = out.groupby("round").agg(
+        rows=("url", "size"), pages=("round_pages", "first"),
+        errors=("round_errors", "first"))
+    assert (per_round["rows"]
+            == per_round["pages"] - per_round["errors"]).all(), per_round
 
 
 @pytest.mark.usefixtures("ray_session")
