@@ -100,14 +100,19 @@ def _merge_stat_blobs(hll_blobs, hist_blobs) -> tuple[bytes, bytes]:
 def clean_corpus(sf_dir: str, out_dir: str | None = None,
                  min_quality: float = 0.3, num_parts: int = 16,
                  images_table: pa.Table | None = None,
+                 image_dedup: str = "phash",
                  pii_scrub: bool = False, _pii_plant: bool = False) -> dict:
     """Run the cleaning pipeline; returns the funnel stats dict (and writes
     partitioned parquet + ``stats.json`` when ``out_dir`` is given).
 
     ``images_table`` (optional): a multimodal image corpus (IMAGES_SCHEMA)
-    cleaned alongside the text — decoded-pixel phash near-dups are dropped
-    keep-first through the SAME banded-LSH operator as the standalone
-    ``image_phash_dups`` query (``queries.image_phash_pairs``), and kept
+    cleaned alongside the text — decoded-pixel near-dups are dropped
+    keep-first through the SAME banded-LSH operators as the standalone
+    queries: ``image_dedup="phash"`` (default) uses
+    ``queries.image_phash_pairs`` (``image_phash_dups``);
+    ``image_dedup="embed"`` uses ``queries.image_embed_dup_pairs``
+    (``image_embed_dups``) — the tile-embedding path that also catches
+    re-encodes whose phash hamming exceeds the banding budget. Kept
     images are written hash-partitioned under ``out_dir/images/``. Funnel
     stats gain ``n_images / n_image_dup_dropped / n_images_kept``.
 
@@ -138,6 +143,7 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     cfg = {"sf_dir": sf_dir, "min_quality": min_quality,
            "num_parts": num_parts,
            "with_images": images_table is not None,
+           "image_dedup": image_dedup,
            "pii_scrub": pii_scrub, "pii_plant": _pii_plant}
     if out_dir:
         # resume guard (mirrors crawl.py's manifest config check): finished
@@ -382,7 +388,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
             np.frombuffer(hist_blob, dtype=np.int64), 0.9),
     }
     if images_table is not None:
-        stats.update(_clean_images(images_table, out_dir, num_parts))
+        stats.update(_clean_images(images_table, out_dir, num_parts,
+                                   dedup=image_dedup))
     if out_dir:
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -390,21 +397,30 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
 
 
 def _clean_images(images: pa.Table, out_dir: str | None,
-                  num_parts: int) -> dict:
-    """Optional multimodal stage: decoded-pixel phash near-dup removal over
-    an image corpus, keep-first (``queries.image_phash_pairs`` — the SAME
-    operator as the standalone query, so its brute-force-oracle guarantees
-    carry over). The pair list is aggregate-sized → the drop set broadcasts;
-    kept images stream to hash-partitioned parquet under
-    ``out_dir/images/part=NNNN`` with the text path's atomic-skip resume
-    semantics. Returns the image funnel counts."""
+                  num_parts: int, dedup: str = "phash") -> dict:
+    """Optional multimodal stage: decoded-pixel near-dup removal over an
+    image corpus, keep-first, through the SAME operator as the standalone
+    query (so its brute-force-oracle guarantees carry over):
+    ``dedup="phash"`` → ``queries.image_phash_pairs``; ``dedup="embed"`` →
+    ``queries.image_embed_dup_pairs`` (tile-embedding cosine — catches
+    re-encodes whose phash hamming exceeds the banding budget). The pair
+    list is aggregate-sized → the drop set broadcasts; kept images stream
+    to hash-partitioned parquet under ``out_dir/images/part=NNNN`` with
+    the text path's atomic-skip resume semantics. Returns the image
+    funnel counts."""
     import ray
     import ray.data as rd
 
     from ..functions.hashing import hash64_batch
-    from .queries import image_phash_pairs
+    from .queries import image_embed_dup_pairs, image_phash_pairs
 
-    pairs = image_phash_pairs(images)
+    if dedup == "phash":
+        pairs = image_phash_pairs(images)
+    elif dedup == "embed":
+        pairs = image_embed_dup_pairs(images)
+    else:
+        raise ValueError(f"image_dedup must be 'phash' or 'embed', "
+                         f"got {dedup!r}")
     drop = (np.unique(pairs["image_id_b"].to_numpy(dtype=object))
             if len(pairs) else np.empty(0, dtype=object))
     n_images = images.num_rows
@@ -478,6 +494,10 @@ def main(argv=None) -> None:
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact emails/IPv4s before hashing/dedup "
                         "(queries.scrub_pii; counts in n_pii_redactions)")
+    p.add_argument("--image-dedup", choices=("phash", "embed"),
+                   default="phash",
+                   help="image near-dup operator: decoded-pixel phash "
+                        "banding or tile-embedding cosine LSH")
     args = p.parse_args(argv)
 
     import ray
@@ -492,7 +512,8 @@ def main(argv=None) -> None:
 
         images = build_images_with_reencodes(args.images_reencodes)
     stats = clean_corpus(args.sf_dir, args.out, args.min_quality, args.parts,
-                         images_table=images, pii_scrub=args.pii_scrub)
+                         images_table=images, image_dedup=args.image_dedup,
+                         pii_scrub=args.pii_scrub)
     print(json.dumps(stats))
     ray.shutdown()
 

@@ -3192,6 +3192,135 @@ def image_phash_pairs(images: pa.Table, max_hamming: int = 3) -> pd.DataFrame:
     })
 
 
+def image_embed_dup_pairs(images: pa.Table, thresh: float = 0.99,
+                          grid: int = 8, rows_per_band: int = 8,
+                          num_bands: int = 16,
+                          seed: int = 11) -> pd.DataFrame:
+    """Image near-duplicate pairs (image_id_a, image_id_b) by TILE-EMBEDDING
+    cosine — the embedding-space alternative to :func:`image_phash_pairs`
+    (r4 verdict item 6): embedding-space dups catch re-encodes whose phash
+    hamming exceeds the banding budget, since PSNR≥40 pixels give cosine
+    ≥ ~0.999 tile vectors regardless of bit-level hash flips.
+
+    Pipeline (same scale shape as :func:`q_embedding_near_dup`): images →
+    ``ImageTileEmbed`` actor pool (vectors leave the actor, never pixels)
+    → seeded random-hyperplane LSH banding (r=8, b=16: a cos-0.99 pair
+    misses every band with p≈2e-16; background cos≈0 pairs collide per
+    band at 0.5^8) → capped candidate buckets with a 128-bit
+    sketch-hamming prefilter (T=16 ≈ mean+10σ for cos 0.99) → embeddings
+    joined on via the bucketed exchange → EXACT cosine verify. ``id_a <
+    id_b`` in input-table row order (keep-first drops the later
+    occurrence). Precision is exact; recall risk is the documented
+    banding probability (≈0 at this threshold)."""
+    import ray.data as rd
+
+    from ..functions.sketches import hamming64_batch
+    from ..stages.multimodal import ImageTileEmbed
+
+    id_of = images["image_id"].to_pylist()  # rid -> image_id (local table)
+    rid_of = {s: i for i, s in enumerate(id_of)}
+    nbits = rows_per_band * num_bands
+    assert nbits % 64 == 0
+    nwords = nbits // 64
+    ham_T = max(8, int(0.125 * nbits))
+    dim = grid * grid
+
+    embs = rd.from_arrow(images).map_batches(
+        ImageTileEmbed, batch_format="pyarrow", batch_size=16,
+        concurrency=2, fn_constructor_kwargs={"grid": grid})
+
+    def sigs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            cols = {"doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64())}
+            for w in range(nwords):
+                cols[f"sk{w}"] = pa.array([], pa.uint64())
+            return pa.table(cols)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        rids = np.array([rid_of[s] for s in t["image_id"].to_pylist()],
+                        dtype=np.int64)
+        # hyperplane matrix is a pure function of (seed, dim): regenerated
+        # identically in every task (tiny) — see q_embedding_near_dup
+        rng = np.random.Generator(np.random.PCG64(seed))
+        hp = rng.standard_normal((dim, nbits))
+        bits = (m @ hp) >= 0
+        packed = bits.reshape(n, num_bands, rows_per_band)
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        band_vals = (packed * weights).sum(axis=2)
+        wordbits = bits.reshape(n, nwords, 64)
+        w64 = (wordbits.astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, None, :]).sum(
+                   axis=2, dtype=np.uint64)
+        cols = {
+            "doc_id": pa.array(np.repeat(rids, num_bands)),
+            "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32),
+                                     n)),
+            "band_hash": pa.array(band_vals.reshape(-1)),
+        }
+        for w in range(nwords):
+            cols[f"sk{w}"] = pa.array(np.repeat(w64[:, w], num_bands))
+        return pa.table(cols)
+
+    def sketch_close(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        ham = np.zeros(len(a), dtype=np.int64)
+        for w in range(nwords):
+            ham += hamming64_batch(a[:, w], b[:, w])
+        return ham <= ham_T
+
+    cand = _lsh_pairs(_lsh_candidates(
+        embs.map_batches(sigs, batch_format="pyarrow", batch_size=4096),
+        extra_col=[f"sk{w}" for w in range(nwords)],
+        pair_filter=sketch_close))
+
+    def rids_col(t: pa.Table) -> pa.Table:
+        rids = np.array([rid_of[s] for s in t["image_id"].to_pylist()],
+                        dtype=np.int64)
+        return pa.table({"rid": pa.array(rids), "embedding": t["embedding"]})
+
+    vec_type = pa.list_(pa.float64())
+    lut = embs.map_batches(rids_col, batch_format="pyarrow")
+    with_a = _bucket_attach(cand, _PAIR_SCHEMA, lut, "rid", "embedding",
+                            "id_a", "vec_a", vec_type, dedupe=True)
+    schema_a = pa.schema(list(_PAIR_SCHEMA) + [pa.field("vec_a", vec_type)])
+    lut2 = embs.map_batches(rids_col, batch_format="pyarrow")
+    with_ab = _bucket_attach(with_a, schema_a, lut2, "rid", "embedding",
+                             "id_b", "vec_b", vec_type)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = np.array(t["vec_a"].to_pylist(), dtype=np.float64)
+        b = np.array(t["vec_b"].to_pylist(), dtype=np.float64)
+        # tile embeddings are unit-norm by contract; round like the ANN path
+        sims = (a * b).sum(axis=1)
+        kept = t.filter(pa.array(np.round(sims, 6) >= thresh))
+        return pa.table({"id_a": kept["id_a"].cast(pa.int64()),
+                         "id_b": kept["id_b"].cast(pa.int64())})
+
+    pairs = _pairs_to_df(with_ab.map_batches(verify, batch_format="pyarrow"))
+    return pd.DataFrame({
+        "image_id_a": [id_of[i] for i in pairs["id_a"]],
+        "image_id_b": [id_of[i] for i in pairs["id_b"]],
+    })
+
+
+def q_image_embed_dups(sf_dir: str, thresh: float = 0.99):
+    """Image near-duplicate pairs over the deterministic re-encode corpus
+    via the tile-EMBEDDING path (:func:`image_embed_dup_pairs`) — the
+    companion to :func:`q_image_phash_dups` on the same planted corpus;
+    every planted re-encode pair must surface (lossless ⇒ identical
+    pixels ⇒ cosine 1; lqi ⇒ PSNR≥40 ⇒ cosine ≥ ~0.999). Rows-only
+    (decode + LSH not SQL-expressible); pinned against brute-force cosine
+    and the planted inventory in tests."""
+    from ..sources.fixtures import build_images_with_reencodes
+
+    images = build_images_with_reencodes(32, captions=_head_texts(sf_dir))
+    return image_embed_dup_pairs(images, thresh=thresh)
+
+
 def q_image_phash_dups(sf_dir: str, max_hamming: int = 3):
     """Image near-duplicate pairs over the deterministic re-encode corpus
     (captions from the sf ``documents`` table): each base image recurs
@@ -3975,6 +4104,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "multimodal_image_stats": q_multimodal_image_stats,
     "image_phash_dups": q_image_phash_dups,
+    "image_embed_dups": q_image_embed_dups,
     "image_embed_topk": q_image_embed_topk,
     "distinct_orders_hll": q_distinct_orders_hll,
     "embedding_centroids": q_embedding_centroids,

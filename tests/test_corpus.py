@@ -165,6 +165,41 @@ def test_corpus_image_stage_drops_planted_reencodes(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_corpus_image_stage_embed_path_drops_planted_reencodes(tmp_path):
+    """The tile-embedding image-dedup alternative (r4 verdict item 6,
+    image_dedup='embed' → queries.image_embed_dup_pairs): same funnel
+    contract as the phash path on the planted corpus — every '-re'
+    re-encode removed keep-first, every base kept — plus the config
+    sidecar records which operator produced the partitions (a phash-run
+    out_dir refuses an embed resume)."""
+    import json as json_
+
+    from scraper_ray.pipelines.corpus import clean_corpus
+    from scraper_ray.sources.fixtures import build_images_with_reencodes
+
+    out = str(tmp_path / "corpus")
+    images = build_images_with_reencodes(16)
+    s = clean_corpus(SF_DIR, out, images_table=images, image_dedup="embed")
+    assert s["n_images"] == 32
+    assert s["n_image_dup_dropped"] == 16
+    assert s["n_images_kept"] == 16
+
+    ids = []
+    base = os.path.join(out, "images")
+    for d in sorted(os.listdir(base)):
+        t = pq.read_table(os.path.join(base, d, "data.parquet"))
+        ids += t["image_id"].to_pylist()
+    assert not any(i.endswith("-re") for i in ids)
+    assert set(ids) == {i for i in images["image_id"].to_pylist()
+                        if not i.endswith("-re")}
+
+    with open(os.path.join(out, "config.json")) as f:
+        assert json_.load(f)["image_dedup"] == "embed"
+    with pytest.raises(ValueError, match="config mismatch"):
+        clean_corpus(SF_DIR, out, images_table=images, image_dedup="phash")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_corpus_sketch_profile_rides_exchange(tmp_path):
     """The HLL source-count and token-histogram quantiles riding the dedup
     exchange match ground truth computed over the actual kept rows — and

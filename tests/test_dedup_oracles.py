@@ -363,6 +363,38 @@ def test_image_phash_dups_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_image_embed_dups_vs_brute_force():
+    """Tile-embedding image near-dup (cosine >= 0.99) must equal brute
+    force exactly — precision 1.0 by exact verify; recall 1.0 here since
+    cos-0.99 pairs miss the r=8/b=16 banding with p~2e-16 — and every
+    planted re-encode pair must be present (lossless => cosine 1; lqi =>
+    PSNR>=40 => cosine ~0.999+)."""
+    from scraper_ray.functions import codec
+    from scraper_ray.pipelines.queries import q_image_embed_dups
+    from scraper_ray.sources.fixtures import build_images_with_reencodes
+    from scraper_ray.stages.multimodal import tile_embedding
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    captions = [t[:120] for t in docs["text"].to_pylist()[:64]]
+    images = build_images_with_reencodes(32, captions=captions)
+    ids = images["image_id"].to_pylist()
+    m = np.stack([
+        tile_embedding(codec.decode(b.as_py(), f.as_py()))
+        for b, f in zip(images["bytes"], images["fmt"])])
+    sims = np.round(m @ m.T, 6)
+    ii, jj = np.where(np.triu(sims >= 0.99, k=1))
+    truth = {tuple(sorted((ids[i], ids[j]))) for i, j in zip(ii, jj)}
+    assert len(truth) >= 32  # every planted pair qualifies
+
+    got_df = q_image_embed_dups(SF)
+    got = {tuple(sorted((a, b))) for a, b in
+           zip(got_df["image_id_a"], got_df["image_id_b"])}
+    assert got == truth, (len(got), len(truth))
+    for i in range(32):
+        assert tuple(sorted((ids[i], ids[i] + "-re"))) in got, ids[i]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ann_pq_recall_vs_numpy_brute_force():
     """PQ-ADC + exact rerank recall@k against the from-scratch numpy truth
     — with a generous per-batch rerank pool on this small corpus the
