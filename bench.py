@@ -91,6 +91,14 @@ EXTENDED_QUERIES = [
     "rollup_revenue",
     "incremental_dedup",
     "json_extract_stats",
+    # round-5 additions
+    "lag_event_gap",
+    "pivot_status_priority",
+    "mode_event_type",
+    "top_doc_list",
+    "value_quantiles_cont",
+    "exists_orders",
+    "image_embed_dups",
 ]
 
 
