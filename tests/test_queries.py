@@ -30,6 +30,32 @@ def _norm(df) -> pd.DataFrame:
     return df
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_value_quantiles_cont_skew_cap_fails_loudly():
+    """The two-pass exact-quantile operator must refuse (not silently
+    mis-page) when the needed rank bins exceed the re-scan cap."""
+    from scraper_ray.pipelines.queries import q_value_quantiles_cont
+
+    with pytest.raises(ValueError, match="cap"):
+        q_value_quantiles_cont(SF_DIR, select_cap=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_unknown_status_fails_loudly(tmp_path):
+    """The pivot's status domain is closed — an unseen o_orderstatus must
+    raise instead of silently dropping its counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from scraper_ray.pipelines.queries import q_pivot_status_priority
+
+    pq_.write_table(
+        pa.table({"o_orderpriority": ["1-URGENT"], "o_orderstatus": ["X"]}),
+        str(tmp_path / "orders.parquet"))
+    with pytest.raises(Exception, match="unknown o_orderstatus"):
+        q_pivot_status_priority(str(tmp_path))
+
+
 def test_sql_twins_precede_rows_only():
     """ORDERING CONTRACT: the external driver records only the FIRST 50
     queries() keys in its correctness sweep — every ORACLE_SQL-twinned
