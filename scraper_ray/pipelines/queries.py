@@ -4332,14 +4332,37 @@ ORDER BY q_pct
 """
 
 
-def q_exists_orders(sf_dir: str, min_qty: float = 49.0,
-                    broadcast_limit: int = BROADCAST_KEY_LIMIT):
-    """Semi-join (EXISTS): orders having at least one high-quantity
-    lineitem, counted per priority — the companion to cull_known's
-    ANTI-join on the same machinery: the build side is the distributed
-    distinct qualifying-orderkey set (per-batch dedup partials),
-    broadcast under ``broadcast_limit`` with the bucketed-exchange
-    fallback above it."""
+def _collect_bloom(key_ds, col: str, capacity: int = 1 << 20,
+                   fp_rate: float = 0.01):
+    """Mergeable bloom build side for semi/anti-joins whose exact key set
+    exceeds ``BROADCAST_KEY_LIMIT``: per-batch partial blooms share one
+    geometry (same capacity/fp_rate ⇒ same m, k), so the OR-merge is
+    batching/parallelism-invariant; the driver ORs streaming bit blobs —
+    O(batches × m/8) bytes of ingress, never keys (size ``capacity`` so
+    the blob stays in MBs; a tree reduce would cut driver ingress at very
+    high batch counts). Returns the merged
+    :class:`~scraper_ray.state.seen.BloomFilter`."""
+    from ..state.seen import BloomFilter
+
+    merged = BloomFilter(capacity, fp_rate)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        keys = (pc.unique(t[col]).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        bf.add_many(keys.view(np.uint64))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.large_binary())})
+
+    parts = key_ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["bits"]:
+            merged.bits |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return merged
+
+
+def _exists_orders_impl(sf_dir: str, min_qty: float,
+                        broadcast_limit: int, bloom_prefilter: bool):
     import ray
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -4349,7 +4372,8 @@ def q_exists_orders(sf_dir: str, min_qty: float = 49.0,
         return pa.table({"l_orderkey": pc.unique(keep["l_orderkey"])})
 
     keys_ds = li.map_batches(qual_keys, batch_format="pyarrow")
-    keys_arr = _collect_keys(keys_ds, "l_orderkey", broadcast_limit)
+    keys_arr = (None if bloom_prefilter
+                else _collect_keys(keys_ds, "l_orderkey", broadcast_limit))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def count_part(t: pa.Table) -> pa.Table:
@@ -4366,9 +4390,24 @@ def q_exists_orders(sf_dir: str, min_qty: float = 49.0,
 
         parts = orders.map_batches(flt_count, batch_format="pyarrow")
     else:
+        fact = orders
+        if bloom_prefilter:
+            # broadcast a ~KB-MB bloom of the qualifying keys: fact rows
+            # failing it can NEVER match, so the bucketed exchange below
+            # carries matches + ~fp_rate of non-matches instead of every
+            # order; false positives are removed by the exact attach
+            bf_ref = ray.put(_collect_bloom(keys_ds, "l_orderkey"))
+
+            def pre(t: pa.Table) -> pa.Table:
+                keys = (t["o_orderkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+                mask = ray.get(bf_ref).contains_many(keys.view(np.uint64))
+                return t.filter(pa.array(mask))
+
+            fact = orders.map_batches(pre, batch_format="pyarrow")
         o_schema = pa.schema([pa.field("o_orderkey", pa.int64()),
                               pa.field("o_orderpriority", pa.string())])
-        flagged = _attach_flag(orders, o_schema, keys_ds, "l_orderkey",
+        flagged = _attach_flag(fact, o_schema, keys_ds, "l_orderkey",
                                "o_orderkey")
 
         def keep_count(df: pd.DataFrame) -> pa.Table:
@@ -4387,6 +4426,33 @@ def q_exists_orders(sf_dir: str, min_qty: float = 49.0,
     return df.sort_values("priority").reset_index(drop=True)
 
 
+def q_exists_orders(sf_dir: str, min_qty: float = 49.0,
+                    broadcast_limit: int = BROADCAST_KEY_LIMIT):
+    """Semi-join (EXISTS): orders having at least one high-quantity
+    lineitem, counted per priority — the companion to cull_known's
+    ANTI-join on the same machinery: the build side is the distributed
+    distinct qualifying-orderkey set (per-batch dedup partials),
+    broadcast under ``broadcast_limit`` with the bucketed-exchange
+    fallback above it (see :func:`q_exists_orders_bloom` for the
+    bloom-prefiltered version of that fallback)."""
+    return _exists_orders_impl(sf_dir, min_qty, broadcast_limit,
+                               bloom_prefilter=False)
+
+
+def q_exists_orders_bloom(sf_dir: str, min_qty: float = 49.0):
+    """:func:`q_exists_orders` FORCED down its oversized-build-side path
+    with a bloom prefilter — the 100-TB semi-join plan: when the distinct
+    key set exceeds the broadcast limit, fact rows first stream through a
+    broadcast mergeable bloom (KBs-MBs regardless of key count,
+    :func:`_collect_bloom`), so the bucketed exchange carries matches +
+    ~fp_rate of non-matches instead of EVERY fact row; the exact attach
+    then removes the false positives. Hash-checked against the same SQL
+    oracle as the broadcast path — the scale plan is proven equal, not
+    assumed."""
+    return _exists_orders_impl(sf_dir, min_qty, broadcast_limit=0,
+                               bloom_prefilter=True)
+
+
 Q_EXISTS_ORDERS_SQL = """
 SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
@@ -4401,11 +4467,11 @@ GROUP BY o_orderpriority ORDER BY priority
 
 # ORDERING CONTRACT: every ORACLE_SQL-twinned entry comes FIRST — the
 # external driver's correctness sweep records only the first 50 keys, so
-# all 48 hash-checkable queries must fall inside that window; the 21
+# all 49 hash-checkable queries must fall inside that window; the 21
 # rows-only entries fill the tail (enforced by
 # tests/test_queries.py::test_sql_twins_precede_rows_only).
 QUERIES = {
-    # --- 48 SQL-twinned (hash-checked against the DuckDB oracle) ---
+    # --- 49 SQL-twinned (hash-checked against the DuckDB oracle) ---
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_building_orders,
     "priority_revenue_join": q_priority_revenue,
@@ -4454,6 +4520,7 @@ QUERIES = {
     "top_doc_list": q_top_doc_list,
     "value_quantiles_cont": q_value_quantiles_cont,
     "exists_orders": q_exists_orders,
+    "exists_orders_bloom": q_exists_orders_bloom,
     # --- 21 rows-only (no SQL-expressible oracle; driver checks rows) ---
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -4527,6 +4594,7 @@ ORACLE_SQL = {
     "top_doc_list": Q_TOP_DOC_LIST_SQL,
     "value_quantiles_cont": Q_VALUE_QUANTILES_CONT_SQL,
     "exists_orders": Q_EXISTS_ORDERS_SQL,
+    "exists_orders_bloom": Q_EXISTS_ORDERS_SQL,
     # minhash_near_dup / simhash_dups / lang_id / quality_scores /
     # fingerprints are not SQL-expressible → rows-only driver check
 }

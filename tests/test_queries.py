@@ -56,6 +56,37 @@ def test_pivot_unknown_status_fails_loudly(tmp_path):
         q_pivot_status_priority(str(tmp_path))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_prefilter_prunes_without_false_negatives():
+    """The bloom-prefiltered semi-join's guarantee: the merged mergeable
+    bloom admits EVERY qualifying key (no false negatives — misses would
+    silently drop matches) while pruning most non-matching fact rows
+    before the exchange (fp_rate-bounded)."""
+    import numpy as np
+    import pyarrow.compute as pc_
+
+    from scraper_ray.pipelines.queries import _collect_bloom, _read
+
+    li = _read(SF_DIR, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qual(t):
+        import pyarrow as pa_
+        keep = t.filter(pc_.greater_equal(t["l_quantity"], 49.0))
+        return pa_.table({"l_orderkey": pc_.unique(keep["l_orderkey"])})
+
+    keys_ds = li.map_batches(qual, batch_format="pyarrow")
+    bf = _collect_bloom(keys_ds, "l_orderkey")
+    truth = np.unique(keys_ds.to_pandas()["l_orderkey"].to_numpy())
+    assert bf.contains_many(truth.astype(np.int64).view(np.uint64)).all()
+
+    orders = _read(SF_DIR, "orders", ["o_orderkey"]).to_pandas()
+    ok = orders["o_orderkey"].to_numpy().astype(np.int64)
+    passed = int(bf.contains_many(ok.view(np.uint64)).sum())
+    n_match = int(np.isin(ok, truth).sum())
+    # every match passes; non-matches pass at ~fp_rate (generous 10% bound)
+    assert n_match <= passed <= n_match + max(10, int(0.1 * len(ok)))
+
+
 def test_sql_twins_precede_rows_only():
     """ORDERING CONTRACT: the external driver records only the FIRST 50
     queries() keys in its correctness sweep — every ORACLE_SQL-twinned
