@@ -98,6 +98,7 @@ EXTENDED_QUERIES = [
     "top_doc_list",
     "value_quantiles_cont",
     "exists_orders",
+    "exists_orders_bloom",
     "image_embed_dups",
 ]
 
