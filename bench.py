@@ -99,6 +99,7 @@ EXTENDED_QUERIES = [
     "value_quantiles_cont",
     "exists_orders",
     "exists_orders_bloom",
+    "small_qty_revenue",
     "image_embed_dups",
 ]
 

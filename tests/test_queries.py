@@ -41,6 +41,17 @@ def test_value_quantiles_cont_skew_cap_fails_loudly():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_small_qty_revenue_dim_overflow_fails_loudly():
+    """The Q17-shape correlated join broadcasts the filtered dim map; past
+    the broadcast limit it must refuse (pointing at the bucketed/bloom
+    plan), never silently truncate the map."""
+    from scraper_ray.pipelines.queries import q_small_qty_revenue
+
+    with pytest.raises(ValueError, match="broadcast limit"):
+        q_small_qty_revenue(SF_DIR, broadcast_limit=1)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_unknown_status_fails_loudly(tmp_path):
     """The pivot's status domain is closed — an unseen o_orderstatus must
     raise instead of silently dropping its counts."""
