@@ -4348,8 +4348,11 @@ def _collect_bloom(key_ds, col: str, capacity: int = 1 << 20,
 
     def partial(t: pa.Table) -> pa.Table:
         bf = BloomFilter(capacity, fp_rate)
-        keys = (pc.unique(t[col]).cast(pa.int64())
-                .to_numpy(zero_copy_only=False))
+        # drop_null BEFORE the numpy hop: one null would float64-ify the
+        # array and every key in the batch would hash the WRONG bit
+        # pattern — silent false negatives (dropped matches)
+        keys = (pc.drop_null(pc.unique(t[col])).cast(pa.int64())
+                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
         bf.add_many(keys.view(np.uint64))
         return pa.table({"bits": pa.array([bf.bits.tobytes()],
                                           pa.large_binary())})
@@ -4420,8 +4423,11 @@ def _exists_orders_impl(sf_dir: str, min_qty: float,
 
         parts = flagged.map_batches(keep_count, batch_format="pandas")
 
-    df = (parts.to_pandas().groupby("priority", as_index=False)
-          ["n_orders"].sum())
+    pdf = parts.to_pandas()
+    if pdf.empty:  # zero output blocks lose the schema — rebuild it
+        return pd.DataFrame({"priority": pd.Series([], dtype=object),
+                             "n_orders": pd.Series([], dtype="int64")})
+    df = pdf.groupby("priority", as_index=False)["n_orders"].sum()
     df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("priority").reset_index(drop=True)
 
@@ -4497,17 +4503,23 @@ def q_small_qty_revenue(sf_dir: str, max_size: int = 5,
         return pa.table({"p_partkey": keep["p_partkey"].cast(pa.int64()),
                          "p_brand": keep["p_brand"]})
 
-    keys_l, brands_l = [], []
+    keys_l, brands_l, total = [], [], 0
     for b in part.map_batches(dim, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
         keys_l.append(b["p_partkey"].to_numpy(zero_copy_only=False))
         brands_l.append(b["p_brand"].to_numpy(zero_copy_only=False))
+        total += len(keys_l[-1])
+        if total > broadcast_limit:  # bail MID-STREAM, before the driver
+            raise ValueError(       # accumulates an unbounded dim map
+                f"qualifying part map (>{broadcast_limit} keys) exceeds "
+                "the broadcast limit; route the dim map through the "
+                "bucketed/bloom exchange (q_exists_orders_bloom plan) "
+                "instead")
     keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
-    if len(keys) > broadcast_limit:
-        raise ValueError(
-            f"qualifying part map ({len(keys)} keys) exceeds the broadcast "
-            f"limit ({broadcast_limit}); route the dim map through the "
-            "bucketed/bloom exchange (q_exists_orders_bloom plan) instead")
+    if len(keys) == 0:  # no qualifying part: the oracle's empty result
+        return pd.DataFrame({"brand": pd.Series([], dtype=object),
+                             "n_small": pd.Series([], dtype="int64"),
+                             "revenue_cents": pd.Series([], dtype="int64")})
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
     brand_names, brand_codes = np.unique(
@@ -4545,8 +4557,13 @@ def q_small_qty_revenue(sf_dir: str, max_size: int = 5,
 
     parts = (li.map_batches(survivors, batch_format="pyarrow")
              .groupby("_pkey").map_groups(kernel, batch_format="pandas"))
-    df = (parts.to_pandas().groupby("brand_code", as_index=False)
-          [["n_small", "revenue_cents"]].sum())
+    pdf = parts.to_pandas()
+    if pdf.empty:  # zero output blocks lose the schema — rebuild it
+        return pd.DataFrame({"brand": pd.Series([], dtype=object),
+                             "n_small": pd.Series([], dtype="int64"),
+                             "revenue_cents": pd.Series([], dtype="int64")})
+    df = pdf.groupby("brand_code", as_index=False)[
+        ["n_small", "revenue_cents"]].sum()
     out = pd.DataFrame({
         "brand": brand_names[df["brand_code"].to_numpy()],
         "n_small": df["n_small"].astype("int64"),

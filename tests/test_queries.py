@@ -41,6 +41,43 @@ def test_value_quantiles_cont_skew_cap_fails_loudly():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_empty_result_edges_return_schema_not_crash():
+    """Zero-output-block pipelines lose their pandas schema on to_pandas();
+    the drivers must rebuild the oracle's empty frame (same columns AND
+    dtypes) instead of KeyError-ing on the missing group column."""
+    from scraper_ray.pipelines.queries import (q_exists_orders,
+                                               q_exists_orders_bloom,
+                                               q_small_qty_revenue)
+
+    for fn, kw in ((q_small_qty_revenue, {"max_size": 0}),
+                   (q_exists_orders, {"min_qty": 1e9}),
+                   (q_exists_orders_bloom, {"min_qty": 1e9})):
+        out = fn(SF_DIR, **kw)
+        assert len(out) == 0, fn.__name__
+        assert all(out.dtypes[c].kind in "iO" for c in out.columns), (
+            fn.__name__, dict(out.dtypes))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_bloom_null_keys_keep_no_false_negatives(tmp_path):
+    """A null in the key column must not float64-ify the batch's keys (that
+    would hash wrong bit patterns -> silent dropped matches)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from scraper_ray.pipelines.queries import _collect_bloom
+
+    keys = [7, 11, None, 1 << 40]
+    pq_.write_table(pa.table({"k": pa.array(keys, pa.int64())}),
+                    str(tmp_path / "k.parquet"))
+    bf = _collect_bloom(rd.read_parquet(str(tmp_path / "k.parquet")), "k")
+    present = np.array([7, 11, 1 << 40], np.int64)
+    assert bf.contains_many(present.view(np.uint64)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_small_qty_revenue_dim_overflow_fails_loudly():
     """The Q17-shape correlated join broadcasts the filtered dim map; past
     the broadcast limit it must refuse (pointing at the bucketed/bloom
