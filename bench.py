@@ -100,6 +100,7 @@ EXTENDED_QUERIES = [
     "exists_orders",
     "exists_orders_bloom",
     "small_qty_revenue",
+    "decontaminate",
     "image_embed_dups",
 ]
 

@@ -4592,6 +4592,120 @@ GROUP BY pk.p_brand ORDER BY brand
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination: drop training documents that share an n-word
+# window with the held-out eval slice (the standard pre-training hygiene
+# stage; see e.g. the n-gram-overlap decontamination described in public
+# LLM reports)
+
+def _word_ngram_hashes(texts, n: int):
+    """64-bit hashes of every n-word shingle of every doc, one
+    ``hash64_batch`` call total; returns ``(hashes uint64[], per-doc gram
+    counts int64[])``. Docs shorter than ``n`` words contribute their whole
+    token string as one gram (mirrors :func:`~...textstats.word_shingles`
+    edge semantics)."""
+    from ..functions.hashing import hash64_batch
+
+    all_g: list[str] = []
+    counts = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        if len(toks) >= n:
+            gs = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        else:
+            gs = [" ".join(toks)] if toks else []
+        all_g.extend(gs)
+        counts[i] = len(gs)
+    h = (hash64_batch(all_g) if all_g
+         else np.empty(0, np.uint64))
+    return h, counts
+
+
+def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 10,
+                    broadcast_limit: int = BROADCAST_KEY_LIMIT):
+    """Training-set decontamination vs a held-out eval slice
+    (``doc_id % eval_mod == 0``): a train doc is contaminated when ANY of
+    its n-word shingles appears in any eval doc. Two scale moves:
+
+    1. the eval side reduces to per-batch-unique shingle HASHES
+       (aggregate-sized partials — the driver merges 8-byte hashes, never
+       text; mid-stream bail past ``broadcast_limit``, where a real
+       deployment would switch to the bucketed-exchange membership join);
+    2. the train scan is one ``map_batches`` pass: all shingles of a batch
+       hashed in one call, membership via ``np.searchsorted`` against the
+       broadcast sorted eval set, per-doc any() via ``reduceat`` — Python
+       touches only the (rare) contaminated docs to count distinct hits.
+
+    Returns contaminated ``(doc_id, n_hits)`` rows sorted by doc_id, where
+    ``n_hits`` = distinct overlapping shingles. Rows-only operator (n-gram
+    windowing is not reasonably SQL-expressible); pinned by a brute-force
+    string-set oracle in ``tests/test_queries.py``. At corpus scale the
+    eval slice would come from its own benchmark table — the modular slice
+    here stands in so the operator is testable on one table.
+    """
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.nonzero(ids % eval_mod == 0)[0]
+        texts = t["text"].take(keep).to_pylist()
+        h, _ = _word_ngram_hashes(texts, n)
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    parts_l, total = [], 0
+    for b in docs.map_batches(eval_partial, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        parts_l.append(b["h"].to_numpy(zero_copy_only=False))
+        total += len(parts_l[-1])
+        if total > 4 * broadcast_limit:  # bail mid-stream, never accumulate
+            raise ValueError(
+                "eval shingle set exceeds the broadcast limit; use a "
+                "bucketed-exchange membership join for this eval corpus")
+    eval_set = (np.unique(np.concatenate(parts_l)) if parts_l
+                else np.empty(0, np.uint64))
+    if len(eval_set) > broadcast_limit:
+        raise ValueError(
+            f"eval shingle set ({len(eval_set)}) exceeds the broadcast "
+            f"limit ({broadcast_limit}); use a bucketed-exchange "
+            "membership join for this eval corpus")
+    eval_ref = ray.put(eval_set)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.nonzero(ids % eval_mod != 0)[0]
+        texts = t["text"].take(keep).to_pylist()
+        h, counts = _word_ngram_hashes(texts, n)
+        if len(h) == 0 or len(ev) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        pos = np.searchsorted(ev, h)
+        pos[pos == len(ev)] = 0
+        hit = ev[pos] == h
+        offs = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        # per-doc hit counts as cumsum differences (zero-gram docs read 0;
+        # no reduceat empty-slice edge)
+        cs = np.zeros(len(hit) + 1, np.int64)
+        np.cumsum(hit, out=cs[1:])
+        any_hit = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+        out_ids, out_hits = [], []
+        for i in np.nonzero(any_hit)[0]:  # rare rows only
+            sl = h[offs[i]:offs[i + 1]]
+            out_ids.append(int(ids[keep[i]]))
+            out_hits.append(len(np.unique(sl[hit[offs[i]:offs[i + 1]]])))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_hits": pa.array(out_hits, pa.int64())})
+
+    df = docs.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_hits": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 # ORDERING CONTRACT: every ORACLE_SQL-twinned entry comes FIRST — the
@@ -4652,7 +4766,7 @@ QUERIES = {
     "exists_orders": q_exists_orders,
     "exists_orders_bloom": q_exists_orders_bloom,
     "small_qty_revenue": q_small_qty_revenue,
-    # --- 21 rows-only (no SQL-expressible oracle; driver checks rows) ---
+    # --- 22 rows-only (no SQL-expressible oracle; driver checks rows) ---
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "multimodal_image_stats": q_multimodal_image_stats,
@@ -4673,6 +4787,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "sequence_pack": q_sequence_pack,
+    "decontaminate": q_decontaminate,
     "corpus_clean_stats": _q_corpus_clean_stats,
 }
 

@@ -59,6 +59,40 @@ def test_empty_result_edges_return_schema_not_crash():
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("sf", [SF_DIR, "/root/testdata/sf0.01"])
+def test_decontaminate_matches_brute_force_string_sets(sf):
+    """The hashed distributed decontamination must equal the exact
+    string-set ground truth doc-for-doc AND hit-count-for-hit-count
+    (64-bit shingle hashes: zero collisions at fixture scale)."""
+    import pyarrow.parquet as pq_
+
+    from scraper_ray.pipelines.queries import q_decontaminate
+
+    n, mod = 8, 10
+    got = q_decontaminate(sf, n=n, eval_mod=mod)
+
+    t = pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+    def grams(text):
+        toks = text.lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)}
+        return {" ".join(toks)} if toks else set()
+
+    eg = set()
+    for i, d in enumerate(ids):
+        if d % mod == 0:
+            eg |= grams(texts[i])
+    exp = sorted((d, len(grams(texts[i]) & eg))
+                 for i, d in enumerate(ids)
+                 if d % mod != 0 and grams(texts[i]) & eg)
+    assert list(zip(got["doc_id"], got["n_hits"])) == exp
+    assert len(exp) > 0  # the planted dup clusters must make this non-vacuous
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_collect_bloom_null_keys_keep_no_false_negatives(tmp_path):
     """A null in the key column must not float64-ify the batch's keys (that
     would hash wrong bit patterns -> silent dropped matches)."""
