@@ -97,11 +97,19 @@ def _merge_stat_blobs(hll_blobs, hist_blobs) -> tuple[bytes, bytes]:
     return regs.tobytes(), hist.tobytes()
 
 
+#: decontamination-stage defaults (recorded in the config sidecar via the
+#: ``decontaminate`` flag; the shingle length / eval slice match the
+#: standalone ``queries.q_decontaminate`` defaults — ONE implementation)
+_DECON_N = 8
+_DECON_EVAL_MOD = 10
+
+
 def clean_corpus(sf_dir: str, out_dir: str | None = None,
                  min_quality: float = 0.3, num_parts: int = 16,
                  images_table: pa.Table | None = None,
                  image_dedup: str = "phash",
-                 pii_scrub: bool = False, _pii_plant: bool = False) -> dict:
+                 pii_scrub: bool = False, _pii_plant: bool = False,
+                 decontaminate: bool = False) -> dict:
     """Run the cleaning pipeline; returns the funnel stats dict (and writes
     partitioned parquet + ``stats.json`` when ``out_dir`` is given).
 
@@ -129,7 +137,15 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     Redaction counts ride the exchange as a per-row int64 and surface as
     ``n_pii_redactions`` (over kept rows). ``_pii_plant`` is test
     scaffolding: plant the deterministic positives first (testdata holds
-    no real PII)."""
+    no real PII).
+
+    ``decontaminate=True`` adds the benchmark-decontamination stage (the
+    SAME operator as ``queries.q_decontaminate``): the held-out eval
+    slice (``doc_id % 10 == 0``) is excluded from the training output,
+    and any remaining train doc sharing an 8-word shingle with it is
+    dropped. Both counts ride the dedup exchange
+    (``n_eval_heldout`` / ``n_decontaminated`` — drops actually applied
+    at that stage, after exact/near dedup already removed their share)."""
     import ray
 
     from ..functions.hashing import hash64_batch
@@ -138,13 +154,15 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         count_tokens_bpe, detect_lang, fingerprint_batch, quality_features,
         quality_score,
     )
-    from .queries import _plant_pii, _read, q_minhash_near_dup, scrub_pii
+    from .queries import (_plant_pii, _read, q_decontaminate,
+                          q_minhash_near_dup, scrub_pii)
 
     cfg = {"sf_dir": sf_dir, "min_quality": min_quality,
            "num_parts": num_parts,
            "with_images": images_table is not None,
            "image_dedup": image_dedup,
-           "pii_scrub": pii_scrub, "pii_plant": _pii_plant}
+           "pii_scrub": pii_scrub, "pii_plant": _pii_plant,
+           "decontaminate": decontaminate}
     if out_dir:
         # resume guard (mirrors crawl.py's manifest config check): finished
         # partitions are skipped on rerun, so the config that produced them
@@ -224,6 +242,16 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                 if len(pairs) else np.empty(0, dtype=np.int64))
     drop_ref = ray.put(drop_ids)
 
+    # decontamination drop set: contaminated-train doc_ids from the SAME
+    # operator as the standalone query (aggregate-sized → broadcast); the
+    # eval-slice holdout itself needs no set — it's an exact modular
+    # predicate applied in-partition
+    if decontaminate:
+        cont = q_decontaminate(sf_dir, n=_DECON_N, eval_mod=_DECON_EVAL_MOD)
+        decon_ref = ray.put(cont["doc_id"].to_numpy(dtype=np.int64))
+    else:
+        decon_ref = ray.put(np.empty(0, dtype=np.int64))
+
     # exact dedup + near-dup drop + quality filter: hash-partition on
     # content hash, then ONE vectorized pass per partition. The funnel
     # counts (rows surviving exact dedup, near-dup drops actually applied —
@@ -245,6 +273,17 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                            _bcast(drop_ref), assume_unique=False)
         n_near = int(near_hit.sum())
         g = g.loc[~near_hit]
+        if decontaminate:
+            ev = (g["doc_id"].to_numpy(dtype=np.int64)
+                  % _DECON_EVAL_MOD) == 0
+            n_eval = int(ev.sum())
+            g = g.loc[~ev]
+            dec = np.isin(g["doc_id"].to_numpy(dtype=np.int64),
+                          _bcast(decon_ref))
+            n_dec = int(dec.sum())
+            g = g.loc[~dec]
+        else:
+            n_eval = n_dec = 0
         out = g.loc[g["quality"] >= min_quality].copy()
         # output-corpus profile sketches ride the stats row: an HLL of the
         # kept rows' sources and a log-histogram of their BPE token counts.
@@ -258,6 +297,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         out["_stat_exact"] = np.int64(-1)  # -1 marks a data row
         out["_stat_near"] = np.int64(-1)
         out["_stat_pii"] = np.int64(-1)
+        out["_stat_eval"] = np.int64(-1)
+        out["_stat_dec"] = np.int64(-1)
         out["_stat_hll"] = b""
         out["_stat_hist"] = b""
         stats_row = pd.DataFrame({
@@ -273,6 +314,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
             "_stat_exact": pd.Series([n_exact], dtype="int64"),
             "_stat_near": pd.Series([n_near], dtype="int64"),
             "_stat_pii": pd.Series([n_pii_kept], dtype="int64"),
+            "_stat_eval": pd.Series([n_eval], dtype="int64"),
+            "_stat_dec": pd.Series([n_dec], dtype="int64"),
             "_stat_hll": [hll.to_bytes()],
             "_stat_hist": [hist.tobytes()],
         })
@@ -310,10 +353,15 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                                         dtype="int64"),
                     "n_pii": pd.Series([int(g["_stat_pii"].sum())],
                                        dtype="int64"),
+                    "n_eval": pd.Series([int(g["_stat_eval"].sum())],
+                                        dtype="int64"),
+                    "n_dec": pd.Series([int(g["_stat_dec"].sum())],
+                                       dtype="int64"),
                     "hll": [hll_b], "hist": [hist_b],
                 })
             out = g.drop(columns=["_wkey", "_stat_exact", "_stat_near",
-                                  "_stat_pii", "_stat_hll", "_stat_hist"])
+                                  "_stat_pii", "_stat_eval", "_stat_dec",
+                                  "_stat_hll", "_stat_hist"])
             path = os.path.join(out_dir, f"part={part:04d}")
             os.makedirs(path, exist_ok=True)
             final = os.path.join(path, "data.parquet")
@@ -331,6 +379,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                 "n_exact": pd.Series([0], dtype="int64"),
                 "n_near": pd.Series([0], dtype="int64"),
                 "n_pii": pd.Series([0], dtype="int64"),
+                "n_eval": pd.Series([0], dtype="int64"),
+                "n_dec": pd.Series([0], dtype="int64"),
                 "hll": [b""], "hist": [b""],
             })
 
@@ -342,6 +392,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         n_after_exact = int(written["n_exact"].sum())
         n_near_dropped = int(written["n_near"].sum())
         n_pii_red = int(written["n_pii"].sum())
+        n_eval_held = int(written["n_eval"].sum())
+        n_decon = int(written["n_dec"].sum())
         hll_blob, hist_blob = _merge_stat_blobs(written["hll"].tolist(),
                                                 written["hist"].tolist())
     else:
@@ -358,6 +410,10 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
                                     dtype="int64"),
                 "n_pii": pd.Series([int(df.loc[stat, "_stat_pii"].sum())],
                                    dtype="int64"),
+                "n_eval": pd.Series([int(df.loc[stat, "_stat_eval"].sum())],
+                                    dtype="int64"),
+                "n_dec": pd.Series([int(df.loc[stat, "_stat_dec"].sum())],
+                                   dtype="int64"),
                 "n_kept": pd.Series([int((~stat).sum())], dtype="int64"),
                 "hll": [hll_b], "hist": [hist_b],
             })
@@ -368,6 +424,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         n_after_exact = int(partials["n_exact"].sum())
         n_near_dropped = int(partials["n_near"].sum())
         n_pii_red = int(partials["n_pii"].sum())
+        n_eval_held = int(partials["n_eval"].sum())
+        n_decon = int(partials["n_dec"].sum())
         hll_blob, hist_blob = _merge_stat_blobs(partials["hll"].tolist(),
                                                 partials["hist"].tolist())
 
@@ -377,6 +435,8 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         "n_near_dup_dropped": int(n_near_dropped),
         "n_kept": int(n_kept),
         "n_pii_redactions": int(n_pii_red),
+        "n_eval_heldout": int(n_eval_held),
+        "n_decontaminated": int(n_decon),
         "min_quality": min_quality,
         "num_parts": num_parts,
         # output-corpus profile from the sketches that rode the exchange
@@ -498,6 +558,11 @@ def main(argv=None) -> None:
                    default="phash",
                    help="image near-dup operator: decoded-pixel phash "
                         "banding or tile-embedding cosine LSH")
+    p.add_argument("--decontaminate", action="store_true",
+                   help="hold out the eval slice (doc_id %% 10 == 0) and "
+                        "drop train docs sharing an 8-word shingle with it "
+                        "(queries.q_decontaminate; counts in "
+                        "n_eval_heldout / n_decontaminated)")
     args = p.parse_args(argv)
 
     import ray
@@ -513,7 +578,8 @@ def main(argv=None) -> None:
         images = build_images_with_reencodes(args.images_reencodes)
     stats = clean_corpus(args.sf_dir, args.out, args.min_quality, args.parts,
                          images_table=images, image_dedup=args.image_dedup,
-                         pii_scrub=args.pii_scrub)
+                         pii_scrub=args.pii_scrub,
+                         decontaminate=args.decontaminate)
     print(json.dumps(stats))
     ray.shutdown()
 

@@ -52,6 +52,50 @@ def test_corpus_clean_end_to_end(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_corpus_decontaminate_stage(tmp_path):
+    """decontaminate=True: no eval-slice doc and no contaminated train doc
+    reaches the output; funnel decomposes exactly; stats deterministic."""
+    from scraper_ray.pipelines.corpus import (_DECON_EVAL_MOD, _DECON_N,
+                                              clean_corpus)
+    from scraper_ray.pipelines.queries import q_decontaminate
+
+    out = str(tmp_path / "corpus")
+    s = clean_corpus(SF_DIR, out, decontaminate=True)
+
+    kept = pd.concat([
+        pq.read_table(os.path.join(out, d, "data.parquet")).to_pandas()
+        for d in sorted(os.listdir(out)) if d.startswith("part=")
+    ])
+    kept_ids = set(kept["doc_id"])
+    # the held-out slice is gone...
+    assert not any(d % _DECON_EVAL_MOD == 0 for d in kept_ids)
+    assert s["n_eval_heldout"] > 0
+    # ...and so is every contaminated train doc (whether it fell to
+    # dedup stages earlier or to the decontamination drop itself)
+    cont = set(q_decontaminate(SF_DIR, n=_DECON_N,
+                               eval_mod=_DECON_EVAL_MOD)["doc_id"])
+    assert cont, "fixture must plant contamination or the test is vacuous"
+    assert not cont & kept_ids
+    assert s["n_decontaminated"] >= 0
+
+    # funnel decomposes: rows after exact dedup fall to exactly four sinks
+    n_quality = (s["n_after_exact_dedup"] - s["n_near_dup_dropped"]
+                 - s["n_eval_heldout"] - s["n_decontaminated"] - s["n_kept"])
+    assert n_quality >= 0
+
+    # deterministic (stats-only rerun matches the written run)
+    s2 = clean_corpus(SF_DIR, decontaminate=True)
+    for k in ("n_kept", "n_eval_heldout", "n_decontaminated",
+              "n_after_exact_dedup", "n_near_dup_dropped"):
+        assert s2[k] == s[k], k
+
+    # default run is unchanged by the feature (counts read zero)
+    s0 = clean_corpus(SF_DIR)
+    assert s0["n_eval_heldout"] == 0 and s0["n_decontaminated"] == 0
+    assert s0["n_kept"] >= s["n_kept"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_corpus_resume_config_mismatch_refused(tmp_path):
     """Rerunning over an existing out_dir with a different config must
     refuse (finished partitions are skipped on resume, so stale rows would
