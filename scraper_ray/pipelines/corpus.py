@@ -175,12 +175,17 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 prev = json.load(f)
+            # keys added AFTER an out_dir was written default to their
+            # off-value: a pre-upgrade sidecar without 'decontaminate'
+            # means the flag was off, and resuming with it off is the
+            # identical pipeline — don't force a from-scratch rerun
+            added_defaults = {"decontaminate": False}
             for k, v in cfg.items():
-                if prev.get(k) != v:
+                if prev.get(k, added_defaults.get(k)) != v:
                     raise ValueError(
                         f"resume config mismatch on {k!r}: out_dir was "
-                        f"written with {prev.get(k)!r}, current run has "
-                        f"{v!r}; use a fresh out_dir")
+                        f"written with {prev.get(k, added_defaults.get(k))!r}, "
+                        f"current run has {v!r}; use a fresh out_dir")
         else:
             # no sidecar: refuse to adopt an out_dir that already holds
             # output (a legacy/foreign run whose config is unknown) — its
@@ -247,10 +252,14 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None,
     # eval-slice holdout itself needs no set — it's an exact modular
     # predicate applied in-partition
     if decontaminate:
-        cont = q_decontaminate(sf_dir, n=_DECON_N, eval_mod=_DECON_EVAL_MOD)
+        # shingles are computed in the same text space the corpus writes:
+        # with pii_scrub on, contamination that only matches post-scrub
+        # (docs differing solely inside a redacted span) must still hit
+        cont = q_decontaminate(sf_dir, n=_DECON_N, eval_mod=_DECON_EVAL_MOD,
+                               pii_scrub=pii_scrub, _pii_plant=_pii_plant)
         decon_ref = ray.put(cont["doc_id"].to_numpy(dtype=np.int64))
     else:
-        decon_ref = ray.put(np.empty(0, dtype=np.int64))
+        decon_ref = None  # the isin branch is unreachable when off
 
     # exact dedup + near-dup drop + quality filter: hash-partition on
     # content hash, then ONE vectorized pass per partition. The funnel

@@ -4621,7 +4621,8 @@ def _word_ngram_hashes(texts, n: int):
 
 
 def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 10,
-                    broadcast_limit: int = BROADCAST_KEY_LIMIT):
+                    broadcast_limit: int = BROADCAST_KEY_LIMIT,
+                    pii_scrub: bool = False, _pii_plant: bool = False):
     """Training-set decontamination vs a held-out eval slice
     (``doc_id % eval_mod == 0``): a train doc is contaminated when ANY of
     its n-word shingles appears in any eval doc. Two scale moves:
@@ -4641,16 +4642,27 @@ def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 10,
     string-set oracle in ``tests/test_queries.py``. At corpus scale the
     eval slice would come from its own benchmark table — the modular slice
     here stands in so the operator is testable on one table.
+
+    ``pii_scrub=True`` shingles the SCRUBBED text on both sides (the same
+    :func:`scrub_pii` kernel the corpus pipeline applies before hashing):
+    when the output corpus is scrubbed, contamination must be detected in
+    the scrubbed space too — two docs differing only inside a redacted
+    span ARE identical in the output and must match here.
     """
     import ray
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    def _texts(t: pa.Table, rows: np.ndarray) -> list:
+        sel = t.take(rows)
+        if pii_scrub:
+            sel = scrub_pii(_plant_pii(sel) if _pii_plant else sel)
+        return sel["text"].to_pylist()
+
     def eval_partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         keep = np.nonzero(ids % eval_mod == 0)[0]
-        texts = t["text"].take(keep).to_pylist()
-        h, _ = _word_ngram_hashes(texts, n)
+        h, _ = _word_ngram_hashes(_texts(t, keep), n)
         return pa.table({"h": pa.array(np.unique(h))})
 
     parts_l, total = [], 0
@@ -4675,8 +4687,7 @@ def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 10,
         ev = ray.get(eval_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         keep = np.nonzero(ids % eval_mod != 0)[0]
-        texts = t["text"].take(keep).to_pylist()
-        h, counts = _word_ngram_hashes(texts, n)
+        h, counts = _word_ngram_hashes(_texts(t, keep), n)
         if len(h) == 0 or len(ev) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_hits": pa.array([], pa.int64())})

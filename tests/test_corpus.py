@@ -76,7 +76,9 @@ def test_corpus_decontaminate_stage(tmp_path):
                                eval_mod=_DECON_EVAL_MOD)["doc_id"])
     assert cont, "fixture must plant contamination or the test is vacuous"
     assert not cont & kept_ids
-    assert s["n_decontaminated"] >= 0
+    # the isin-drop path itself must fire (sf0.001 yields 2 contaminated
+    # docs that survive exact+near dedup), not just the earlier stages
+    assert s["n_decontaminated"] > 0
 
     # funnel decomposes: rows after exact dedup fall to exactly four sinks
     n_quality = (s["n_after_exact_dedup"] - s["n_near_dup_dropped"]
@@ -93,6 +95,27 @@ def test_corpus_decontaminate_stage(tmp_path):
     s0 = clean_corpus(SF_DIR)
     assert s0["n_eval_heldout"] == 0 and s0["n_decontaminated"] == 0
     assert s0["n_kept"] >= s["n_kept"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_resume_accepts_pre_upgrade_sidecar(tmp_path):
+    """A sidecar written before the 'decontaminate' key existed means the
+    flag was off — resuming with it off is the identical pipeline and
+    must be accepted; resuming with it ON must still refuse."""
+    from scraper_ray.pipelines.corpus import clean_corpus
+
+    out = str(tmp_path / "corpus")
+    s1 = clean_corpus(SF_DIR, out)
+    cfgp = os.path.join(out, "config.json")
+    with open(cfgp) as f:
+        cfg = json.load(f)
+    cfg.pop("decontaminate")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    s2 = clean_corpus(SF_DIR, out)
+    assert s2["n_kept"] == s1["n_kept"]
+    with pytest.raises(ValueError, match="decontaminate"):
+        clean_corpus(SF_DIR, out, decontaminate=True)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -93,6 +93,32 @@ def test_decontaminate_matches_brute_force_string_sets(sf):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_decontaminate_detects_overlap_in_scrubbed_space(tmp_path):
+    """With pii_scrub=True the shingles are computed on SCRUBBED text:
+    an eval doc and a train doc differing only inside a redacted email
+    span are identical in the output corpus and must be flagged — on raw
+    text they share no 8-word window (every window spans the email)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from scraper_ray.pipelines.queries import q_decontaminate
+
+    base = ("alpha beta gamma delta epsilon {} zeta eta theta iota "
+            "kappa lambda")
+    t = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),  # 10 = eval slice
+        "text": [base.format("u1@ex1.com"), base.format("u2@ex2.com")],
+    })
+    pq_.write_table(t, str(tmp_path / "documents.parquet"))
+
+    raw = q_decontaminate(str(tmp_path))
+    assert len(raw) == 0  # raw texts share no full 8-word window
+    scr = q_decontaminate(str(tmp_path), pii_scrub=True)
+    assert list(scr["doc_id"]) == [11]
+    assert int(scr["n_hits"].iloc[0]) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_collect_bloom_null_keys_keep_no_false_negatives(tmp_path):
     """A null in the key column must not float64-ify the batch's keys (that
     would hash wrong bit patterns -> silent dropped matches)."""
